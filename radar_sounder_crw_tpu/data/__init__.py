@@ -1,0 +1,17 @@
+from .patchify import GridGeometry, unfold2d, window_geometry
+from .radargram import RGWindows, load_radargram, trim_miguel
+from .synthetic import synthetic_radargram
+from .registry import create_dataset, get_reference, DATASETS
+
+__all__ = [
+    "GridGeometry",
+    "unfold2d",
+    "window_geometry",
+    "RGWindows",
+    "load_radargram",
+    "trim_miguel",
+    "synthetic_radargram",
+    "create_dataset",
+    "get_reference",
+    "DATASETS",
+]

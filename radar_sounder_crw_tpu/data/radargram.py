@@ -1,0 +1,122 @@
+"""Radargram loading and the window dataset.
+
+`RGWindows` is the capability-equivalent of the reference `RGDataset`
+(reference: src/dataset.py:5-47): it holds one full radargram on the host and
+serves windows of `length` frames as (T, N, h, w) float32 arrays. Unlike the
+reference it is torch-free at runtime (torch is only used, if present, to read
+legacy `.pt` files), keeps no mutable geometry state, and exposes batch
+assembly helpers so the device path always sees fixed static shapes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .patchify import GridGeometry, extract_window, window_geometry
+
+# Column lengths of the 7 concatenated MCORDS3 ("Miguel") sub-radargrams.
+# reference: src/dataset.py:67
+_MIGUEL_SPLITS = (9984, 6656, 9984, 20000, 16640, 32864, 8992)
+
+
+def load_radargram(filepath: str) -> np.ndarray:
+    """Load a 2-D radargram from .npy / .npz / legacy torch .pt files."""
+    if filepath.endswith(".npy"):
+        return np.asarray(np.load(filepath), dtype=np.float32)
+    if filepath.endswith(".npz"):
+        with np.load(filepath) as z:
+            return np.asarray(z[z.files[0]], dtype=np.float32)
+    if filepath.endswith(".pt"):
+        import torch  # host-side IO only; never on the device path
+
+        t = torch.load(filepath, map_location="cpu", weights_only=False)
+        return np.asarray(t.float().numpy(), dtype=np.float32)
+    raise ValueError(f"Unsupported radargram format: {filepath}")
+
+
+def trim_miguel(rg: np.ndarray, length: int, dim: tuple[int, int]) -> np.ndarray:
+    """Trim each concatenated MCORDS3 sub-radargram to a multiple of w*length.
+
+    reference: src/dataset.py:66-80 (same hardcoded split lengths).
+    """
+    splits = np.asarray(_MIGUEL_SPLITS)
+    starts = np.concatenate([[0], np.cumsum(splits)[:-1]])
+    pieces = []
+    for start, L in zip(starts, splits):
+        nrgs = int(L // (dim[1] * length))
+        pieces.append(rg[:, start : start + nrgs * (dim[1] * length)])
+    return np.concatenate(pieces, axis=1)
+
+
+class RGWindows:
+    """Windowed view over one radargram.
+
+    Args:
+      source: path to a radargram file, or an (H, W) array.
+      length: frames per window (T).
+      dim: patch size (h, w).
+      overlap: patch overlap (oh, ow).
+      flip: reverse the trace axis before windowing (reference dataset.py:16-17).
+      trim_miguel_splits: apply the MCORDS3 concatenation trim
+        (the reference keys this on the filename `rg2.pt`, dataset.py:12-14;
+        here it is an explicit flag, set by the dataset registry).
+    """
+
+    def __init__(
+        self,
+        source,
+        length: int = 10,
+        dim: tuple[int, int] = (24, 24),
+        overlap: tuple[int, int] = (0, 0),
+        flip: bool = False,
+        trim_miguel_splits: bool = False,
+    ):
+        if isinstance(source, (str, os.PathLike)):
+            rg = load_radargram(str(source))
+        else:
+            rg = np.asarray(source, dtype=np.float32)
+        if rg.ndim != 2:
+            raise ValueError(f"radargram must be 2-D, got shape {rg.shape}")
+        if trim_miguel_splits:
+            rg = trim_miguel(rg, length, dim)
+        if flip:
+            rg = rg[:, ::-1]
+        self.rg = np.ascontiguousarray(rg, dtype=np.float32)
+        self.geo: GridGeometry = window_geometry(self.rg.shape, dim, overlap, length)
+        if self.geo.nw <= 0:
+            raise ValueError(
+                f"radargram of width {self.rg.shape[1]} too narrow for "
+                f"length={length}, w={dim[1]}, ow={overlap[1]}"
+            )
+
+    # -- reference-parity surface ------------------------------------------
+    def __len__(self) -> int:
+        return self.geo.nw
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        """Window `index` as (T, N, h, w) float32. reference: dataset.py:34-39."""
+        return extract_window(self.rg, self.geo, index)
+
+    def get_smaller_item(self, index: int, small_length: int) -> np.ndarray:
+        """Shorter window starting at the same trace offset, (T', N, h, w).
+
+        reference: src/dataset.py:41-47. The reference mutates self.pxw as a
+        side effect; this implementation is pure.
+        """
+        return extract_window(self.rg, self.geo, index, length=small_length)
+
+    # -- framework additions -----------------------------------------------
+    def non_overlapping_indices(self) -> range:
+        """Stride-`length` item subset (reference utils.py:42)."""
+        return range(0, len(self), self.geo.length)
+
+    def batch(self, indices, length: int | None = None) -> np.ndarray:
+        """Stack windows into a (B, T, N, h, w) batch (static shapes)."""
+        return np.stack([extract_window(self.rg, self.geo, i, length) for i in indices])
+
+    @property
+    def item_shape(self) -> tuple[int, int, int, int]:
+        g = self.geo
+        return (g.length, g.nh, g.h, g.w)
