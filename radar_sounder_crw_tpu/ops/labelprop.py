@@ -1,0 +1,131 @@
+"""User-guided label propagation: top-k masked-attention over CRW embeddings.
+
+Semantics (capability match of reference src/imported/labelprop.py:42-115 and
+src/imported/maskedatt.py:151-175, after Jabri et al. 2020 "videowalk"):
+
+Frame 0 carries user seed labels (one-hot over classes, one label per patch
+node). For each later frame t, every node attends over a *context set* of
+already-labelled source nodes — frame 0 (long-term memory) plus the last
+CXT_SIZE frames — with
+  * a spatial radius mask (additive -1e10 outside Euclidean radius on the
+    patch grid; reference maskedatt.py:232-245, labelprop.py:89-96),
+  * temperature scaling applied AFTER the mask add (maskedatt.py:160-164),
+  * hard top-k selection over all context nodes, then softmax over the k
+    selected scores (maskedatt.py:169-171 — softmax after topk, not before),
+  * prediction = sum of the k source nodes' soft labels, weighted
+    (labelprop.py:106-111). The predicted soft labels become frame t's
+    context labels.
+
+TPU-first design: the reference keeps a growing Python list of all past
+frames and trims inside the affinity op. Here the context is a fixed-size
+ring buffer carried through a single `jax.lax.scan` over frames — static
+shapes, fully on-device, jit/vmap/shard-compatible; slot 0 permanently holds
+frame 0, slots 1..CXT_SIZE hold the most recent frames.
+
+Known reference bug NOT reproduced: when t > CXT_SIZE+1 the reference trims
+the affinity rows but indexes the *untrimmed* label stack with trimmed
+indices (maskedatt.py:166-171 vs labelprop.py:106-109), so labels come from
+stale frames 1..CXT_SIZE instead of the trimmed context. The ring buffer
+keeps features and labels together, i.e. implements the intended semantics.
+The two agree exactly whenever T <= CXT_SIZE+1 (true for the reference's
+test.py and test_all.py defaults).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_MASKED = -1e10  # radius-mask fill (reference labelprop.py:94)
+NEG_INVALID = -1e12  # empty ring slots: below every reference candidate
+
+
+@dataclasses.dataclass(frozen=True)
+class LabelPropConfig:
+    """cfg dict of the reference (labelprop.py:44-48 / test_all.py:63-68)."""
+
+    cxt_size: int = 100
+    radius: int = 10
+    temperature: float = 0.1
+    knn: int = 20
+
+
+def radius_mask(h: int, w: int, radius: float) -> np.ndarray:
+    """(h*w, h*w) additive mask: 0 within Euclidean `radius` on the (h, w)
+    patch grid, NEG_MASKED outside. reference: maskedatt.py:232-245."""
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    pos = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float32)
+    d2 = ((pos[:, None, :] - pos[None, :, :]) ** 2).sum(-1)
+    return np.where(np.sqrt(d2) < radius, 0.0, NEG_MASKED).astype(np.float32)
+
+
+def _prop_step(mask, temperature, knn, carry, q):
+    """One frame of propagation. carry: ring buffer; q: (N, C) query feats."""
+    feats, labels, valid, ptr = carry
+    K, N, C = feats.shape
+
+    # affinity of every context node to every query node (keys @ query^T):
+    # (K, N_src, N_query) — one MXU matmul per slot, batched over K.
+    aff = jnp.einsum("knc,mc->knm", feats, q, preferred_element_type=jnp.float32)
+    aff = aff + mask[None, :, :] + ((1.0 - valid) * -NEG_INVALID * -1.0)[:, None, None]
+    aff = aff / temperature
+
+    flat = aff.reshape(K * N, N).T  # (N_query, K*N candidates)
+    vals, idx = jax.lax.top_k(flat, knn)  # (N, knn)
+    w = jax.nn.softmax(vals, axis=-1)
+
+    src_labels = labels.reshape(K * N, -1)[idx]  # (N, knn, M)
+    pred = jnp.einsum("nk,nkm->nm", w, src_labels, preferred_element_type=jnp.float32)
+
+    # push this frame into the circular region (slots 1..K-1)
+    slot = 1 + jnp.mod(ptr, K - 1)
+    feats = feats.at[slot].set(q)
+    labels = labels.at[slot].set(pred)
+    valid = valid.at[slot].set(1.0)
+    return (feats, labels, valid, ptr + 1), pred
+
+
+@partial(jax.jit, static_argnames=("cfg", "grid_hw"))
+def propagate_labels(emb, seed_labels, cfg: LabelPropConfig, grid_hw=None):
+    """Propagate seed labels through a frame sequence.
+
+    Args:
+      emb: (T, N, C) L2-normalized per-node embeddings.
+      seed_labels: (N, M) one-hot (or soft) labels of frame 0.
+      cfg: LabelPropConfig.
+      grid_hw: patch-grid shape per frame; default (N, 1) — a vertical column
+        of patches, the geometry of this pipeline (reference utils.py:148).
+
+    Returns:
+      soft: (T, N, M) soft labels per frame (frame 0 = seed as given).
+      pred: (T, N) int32 argmax labels.
+    """
+    T, N, C = emb.shape
+    M = seed_labels.shape[-1]
+    h, w = grid_hw if grid_hw is not None else (N, 1)
+    assert h * w == N, f"grid {h}x{w} != {N} nodes"
+    mask = jnp.asarray(radius_mask(h, w, cfg.radius))
+
+    K = cfg.cxt_size + 1
+    feats0 = jnp.zeros((K, N, C), emb.dtype).at[0].set(emb[0])
+    labels0 = jnp.zeros((K, N, M), jnp.float32).at[0].set(seed_labels)
+    valid0 = jnp.zeros((K,), jnp.float32).at[0].set(1.0)
+
+    step = partial(_prop_step, mask, cfg.temperature, cfg.knn)
+    (_, _, _, _), soft_rest = jax.lax.scan(
+        step, (feats0, labels0, valid0, jnp.zeros((), jnp.int32)), emb[1:]
+    )
+    soft = jnp.concatenate([seed_labels[None], soft_rest], axis=0)
+    return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
+
+
+propagate_labels_batched = jax.vmap(
+    propagate_labels, in_axes=(0, 0, None, None), out_axes=0
+)
+propagate_labels_batched.__doc__ = """vmap of propagate_labels over a leading
+radargram batch axis — the scale-out path for full-survey inference (shard
+the batch axis over the mesh; each scan stays per-device serial)."""

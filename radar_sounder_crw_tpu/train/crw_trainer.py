@@ -1,0 +1,201 @@
+"""CRW unsupervised trainer: optax Adam, jitted train step, data-parallel
+over a device mesh.
+
+Capability match of the reference training entry point
+(reference: scripts/train.py:39-93): Adam, per-epoch mean loss + wall time,
+shuffled batches, seed 11 default, encoder checkpoint at the end. TPU-first
+differences: the whole step (encode -> normalize -> affinity -> palindrome
+walk -> grads -> Adam) is one jitted SPMD program; batches are sharded over
+the mesh's data axis (XLA inserts the gradient psum over ICI — the
+DataParallel equivalent, reference: scripts/train.py:45-47); partial final
+batches are padded to a static shape and exactly de-weighted in the loss;
+BatchNorm runs in batch-stat mode with running stats carried in the train
+state, and cross-replica BN stats stay per-replica (matching DataParallel,
+which also keeps BN local to each GPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models import create_model, param_count
+from ..ops import crw_loss
+from ..parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_to_multiple,
+    replicated,
+)
+from ..utils.pos_embed import maybe_pos_embed
+
+
+@dataclasses.dataclass
+class CRWTrainConfig:
+    """Training hyperparameters (defaults = reference scripts/train.py:17-37)."""
+
+    model: int = 1  # 0=CNN, 1=ResNet
+    patch_size: tuple[int, int] = (16, 16)
+    seq_length: int = 20
+    overlap: tuple[int, int] = (8, 0)
+    batch_size: int = 8
+    epochs: int = 2
+    lr: float = 1e-3
+    tau: float = 0.01
+    pos_embed: bool = False
+    seed: int = 11
+    dtype: Any = jnp.float32  # encoder compute dtype; bfloat16 for MXU speed
+    remat: bool = False  # rematerialize encoder activations (large T*N)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def _encode(model, params, batch_stats, seq, use_pos_embed, train):
+    """(B,T,N,h,w) -> (B,T,N,C) embeddings; one big batched conv forward
+    (the dominant FLOPs — reference call stack: src/model.py:17-21)."""
+    B, T, N, h, w = seq.shape
+    x = seq.reshape(B * T * N, h, w, 1)
+    x = maybe_pos_embed(x, use_pos_embed)
+    out, updates = model.apply(
+        {"params": params, "batch_stats": batch_stats},
+        x,
+        train=train,
+        mutable=["batch_stats"] if train else [],
+    )
+    emb = out.reshape(B, T, N, -1)
+    new_stats = updates.get("batch_stats", batch_stats) if train else batch_stats
+    return emb, new_stats
+
+
+def make_crw_train_step(
+    model, tx, tau: float, use_pos_embed: bool, remat: bool = False
+) -> Callable:
+    """Build the pure (state, seq, weights) -> (state, loss) step function."""
+
+    encode = _encode
+    if remat:
+        encode = jax.checkpoint(
+            _encode, static_argnums=(0, 4, 5), policy=jax.checkpoint_policies.nothing_saveable
+        )
+
+    def step_fn(state: TrainState, seq, weights):
+        def loss_fn(params):
+            emb, new_stats = encode(
+                model, params, state.batch_stats, seq, use_pos_embed, True
+            )
+            per_item, _ = crw_loss(emb, tau, per_item=True)
+            loss = jnp.sum(per_item * weights) / jnp.sum(weights)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    return step_fn
+
+
+class CRWTrainer:
+    """Owns model init, the jitted+sharded step, and the epoch loop."""
+
+    def __init__(self, config: CRWTrainConfig, mesh=None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = create_model(config.model, config.pos_embed, dtype=config.dtype)
+        self.tx = optax.adam(config.lr)
+        self._step_raw = make_crw_train_step(
+            self.model, self.tx, config.tau, config.pos_embed, config.remat
+        )
+        repl = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        self._step = jax.jit(
+            self._step_raw,
+            in_shardings=(repl, bsh, bsh),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
+        self.state: TrainState | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+    def init_state(self, example_item_shape) -> TrainState:
+        T, N, h, w = example_item_shape
+        in_ch = 2 if self.config.pos_embed else 1
+        rng = jax.random.PRNGKey(self.config.seed)
+        variables = self.model.init(
+            rng, jnp.zeros((1, h, w, in_ch), self.config.dtype), train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+        )
+        self.state = jax.device_put(state, replicated(self.mesh))
+        self.n_params = param_count(params)
+        return self.state
+
+    def train_step(self, batch: np.ndarray) -> float:
+        """One optimizer step on a host batch (any size; padded to the mesh)."""
+        n_dev = self.mesh.devices.size
+        padded, real = pad_to_multiple(np.asarray(batch, np.float32), n_dev)
+        weights = np.zeros(padded.shape[0], np.float32)
+        weights[:real] = 1.0
+        self.state, loss = self._step(
+            self.state, jnp.asarray(padded), jnp.asarray(weights)
+        )
+        return loss
+
+    def fit(self, dataset, log: Callable[[str], None] = print):
+        """Epoch loop: shuffle, batch, step; per-epoch mean loss + wall time
+        (reference: scripts/train.py:62-75)."""
+        cfg = self.config
+        if self.state is None:
+            self.init_state(dataset[0].shape)
+        rng = np.random.default_rng(cfg.seed)
+        history = []
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            order = rng.permutation(len(dataset))
+            losses = []
+            for start in range(0, len(order), cfg.batch_size):
+                idxs = order[start : start + cfg.batch_size]
+                batch = np.stack([dataset[int(i)] for i in idxs])
+                losses.append(self.train_step(batch))
+            epoch_loss = float(np.mean(jax.device_get(losses)))
+            history.append(epoch_loss)
+            log(
+                f"Epoch: {epoch} Loss: {epoch_loss} Time: {time.time() - t0:.3f}"
+            )
+        return history
+
+    # -- inference-side helpers ---------------------------------------------
+    def variables(self) -> dict:
+        v = {"params": self.state.params}
+        if self.state.batch_stats:
+            v["batch_stats"] = self.state.batch_stats
+        return v

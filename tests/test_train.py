@@ -1,0 +1,97 @@
+"""End-to-end CRW training tests: loss goes down on structured synthetic
+data, the step runs sharded over the 8-device virtual mesh, padded batches
+are exactly de-weighted, and checkpoints round-trip (including torch export).
+"""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_sounder_crw_tpu.data import RGWindows, synthetic_radargram
+from radar_sounder_crw_tpu.parallel import make_mesh
+from radar_sounder_crw_tpu.train import CheckpointManager, CRWTrainConfig, CRWTrainer
+
+
+def tiny_dataset():
+    rg, _ = synthetic_radargram(H=120, W=800, seed=7)
+    return RGWindows(rg, length=6, dim=(16, 16), overlap=(8, 0))
+
+
+def test_train_loss_decreases_cnn():
+    ds = tiny_dataset()
+    cfg = CRWTrainConfig(
+        model=0, seq_length=6, patch_size=(16, 16), overlap=(8, 0),
+        batch_size=8, epochs=3, lr=1e-3, tau=0.05,
+    )
+    trainer = CRWTrainer(cfg)
+    history = trainer.fit(ds, log=lambda s: None)
+    assert len(history) == 3
+    assert np.isfinite(history).all()
+    assert history[-1] < history[0]
+
+
+def test_multidevice_matches_single_device():
+    """Sharding over 8 virtual devices must give the same loss/params as a
+    single-device run (same seed, same batches)."""
+    ds = tiny_dataset()
+    cfg = CRWTrainConfig(model=0, batch_size=8, epochs=1, lr=1e-3, tau=0.05, seed=11)
+
+    t1 = CRWTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    t8 = CRWTrainer(cfg, mesh=make_mesh(jax.devices()))
+    t1.init_state(ds[0].shape)
+    t8.init_state(ds[0].shape)
+
+    batch = np.stack([ds[i] for i in range(8)])
+    l1 = float(t1.train_step(batch))
+    l8 = float(t8.train_step(batch))
+    np.testing.assert_allclose(l1, l8, rtol=1e-5)
+    p1 = jax.tree.map(np.asarray, jax.device_get(t1.state.params))
+    p8 = jax.tree.map(np.asarray, jax.device_get(t8.state.params))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_partial_batch_padding_is_exact():
+    """A padded batch of 5 real items over 8 devices must give the same loss
+    as the unpadded batch on one device."""
+    ds = tiny_dataset()
+    cfg = CRWTrainConfig(model=0, batch_size=8, epochs=1, lr=1e-3, tau=0.05)
+    t1 = CRWTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    t8 = CRWTrainer(cfg, mesh=make_mesh(jax.devices()))
+    t1.init_state(ds[0].shape)
+    t8.init_state(ds[0].shape)
+    batch = np.stack([ds[i] for i in range(5)])
+    np.testing.assert_allclose(
+        float(t1.train_step(batch)), float(t8.train_step(batch)), rtol=1e-5
+    )
+
+
+def test_checkpoint_roundtrip_and_torch_export(tmp_path):
+    ds = tiny_dataset()
+    cfg = CRWTrainConfig(model=1, batch_size=4, epochs=1, lr=1e-3, tau=0.05)
+    trainer = CRWTrainer(cfg)
+    trainer.init_state(ds[0].shape)
+    trainer.train_step(np.stack([ds[0], ds[1]]))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    state_host = jax.device_get(trainer.state)
+    mgr.save(int(state_host.step), state_host)
+    restored = mgr.restore(state_host)
+    for a, b in zip(jax.tree.leaves(state_host.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
+
+    # torch export loads back through the import path bit-identically
+    from radar_sounder_crw_tpu.models import load_torch_checkpoint
+    from radar_sounder_crw_tpu.train.checkpoint import save_encoder_torch
+
+    pt = str(tmp_path / "enc.pt")
+    save_encoder_torch(trainer.variables(), pt)
+    back = load_torch_checkpoint(pt)
+    np.testing.assert_array_equal(
+        np.asarray(back["params"]["fc0"]["kernel"]),
+        np.asarray(jax.device_get(trainer.state.params)["fc0"]["kernel"]),
+    )
