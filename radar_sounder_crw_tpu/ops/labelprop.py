@@ -71,7 +71,7 @@ def _prop_step(mask, temperature, knn, carry, q):
     # affinity of every context node to every query node (keys @ query^T):
     # (K, N_src, N_query) — one MXU matmul per slot, batched over K.
     aff = jnp.einsum("knc,mc->knm", feats, q, preferred_element_type=jnp.float32)
-    aff = aff + mask[None, :, :] + ((1.0 - valid) * -NEG_INVALID * -1.0)[:, None, None]
+    aff = aff + mask[None, :, :] + ((1.0 - valid) * NEG_INVALID)[:, None, None]
     aff = aff / temperature
 
     flat = aff.reshape(K * N, N).T  # (N_query, K*N candidates)

@@ -1,0 +1,126 @@
+"""Label propagation: golden tests against an independent numpy oracle of
+the documented growing-context semantics (frame-0 long-term memory + last
+CXT_SIZE frames, radius mask, temperature after mask, topk-then-softmax,
+weighted soft-label sum)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_sounder_crw_tpu.ops.labelprop import (
+    LabelPropConfig,
+    propagate_labels,
+    propagate_labels_batched,
+    radius_mask,
+)
+
+
+def np_softmax(x, axis):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def oracle_propagate(emb, seed, cfg: LabelPropConfig):
+    """Growing-list implementation with consistent feature/label trimming."""
+    T, N, C = emb.shape
+    feats, labels = [emb[0]], [seed]
+    out = [seed]
+    m = np.where(
+        np.abs(np.arange(N)[:, None] - np.arange(N)[None, :]) < cfg.radius,
+        0.0,
+        -1e10,
+    )
+    for t in range(1, T):
+        if len(feats) > cfg.cxt_size + 1:
+            cf = [feats[0]] + feats[-cfg.cxt_size :]
+            cl = [labels[0]] + labels[-cfg.cxt_size :]
+        else:
+            cf, cl = list(feats), list(labels)
+        K = np.concatenate(cf, 0)  # (n*N, C)
+        L = np.concatenate(cl, 0)  # (n*N, M)
+        aff = K @ emb[t].T + np.tile(m, (len(cf), 1))
+        aff = aff / cfg.temperature
+        idx = np.argsort(-aff, axis=0, kind="stable")[: cfg.knn]  # (k, N)
+        vals = np.take_along_axis(aff, idx, 0)
+        w = np_softmax(vals, axis=0)
+        pred = np.einsum("kn,knm->nm", w, L[idx])
+        feats.append(emb[t])
+        labels.append(pred)
+        out.append(pred)
+    return np.stack(out)
+
+
+def random_emb(T, N, C, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.standard_normal((T, N, C)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+
+def onehot_seed(N, M, seed=1):
+    rng = np.random.default_rng(seed)
+    lab = rng.integers(0, M, N)
+    return np.eye(M, dtype=np.float32)[lab]
+
+
+@pytest.mark.parametrize(
+    "T,ctx,radius,knn",
+    [
+        (6, 10, 4, 3),  # no trimming (T <= ctx+1): matches reference exactly
+        (12, 4, 5, 4),  # trimming active: intended (bug-fixed) semantics
+        (9, 1, 12, 6),  # tiny context
+    ],
+)
+def test_matches_oracle(T, ctx, radius, knn):
+    N, C, M = 12, 16, 4
+    emb = random_emb(T, N, C)
+    seed = onehot_seed(N, M)
+    cfg = LabelPropConfig(cxt_size=ctx, radius=radius, temperature=0.07, knn=knn)
+
+    want = oracle_propagate(emb, seed, cfg)
+    soft, pred = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg)
+    np.testing.assert_allclose(np.asarray(soft), want, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(pred), want.argmax(-1))
+
+
+def test_identical_embeddings_keep_labels():
+    """If every frame embeds identically and radius=1 (self only), the seed
+    labels persist unchanged through the sequence."""
+    N, M, T = 8, 3, 5
+    e = random_emb(1, N, 32)[0]
+    emb = np.broadcast_to(e, (T, N, 32)).copy()
+    seed = onehot_seed(N, M, seed=3)
+    cfg = LabelPropConfig(cxt_size=10, radius=1, temperature=0.01, knn=1)
+    soft, pred = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg)
+    for t in range(T):
+        np.testing.assert_array_equal(np.asarray(pred[t]), seed.argmax(-1))
+
+
+def test_batched_vmap():
+    B, T, N, C, M = 3, 5, 10, 8, 4
+    emb = np.stack([random_emb(T, N, C, seed=i) for i in range(B)])
+    seeds = np.stack([onehot_seed(N, M, seed=i) for i in range(B)])
+    cfg = LabelPropConfig(cxt_size=6, radius=4, temperature=0.1, knn=3)
+    soft, pred = propagate_labels_batched(
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None
+    )
+    assert soft.shape == (B, T, N, M)
+    assert pred.shape == (B, T, N)
+    s0, p0 = propagate_labels(jnp.asarray(emb[1]), jnp.asarray(seeds[1]), cfg)
+    np.testing.assert_allclose(np.asarray(soft[1]), np.asarray(s0), rtol=1e-5)
+
+
+def test_radius_mask_column_and_grid():
+    m = radius_mask(6, 1, 2)
+    want = np.where(
+        np.abs(np.arange(6)[:, None] - np.arange(6)[None, :]) < 2, 0.0, -1e10
+    )
+    np.testing.assert_array_equal(m, want)
+    # 2-D grid: brute-force Euclidean check
+    m2 = radius_mask(3, 4, 1.5)
+    for a in range(12):
+        for b in range(12):
+            ya, xa, yb, xb = a // 4, a % 4, b // 4, b % 4
+            d = ((ya - yb) ** 2 + (xa - xb) ** 2) ** 0.5
+            assert m2[a, b] == (0.0 if d < 1.5 else -1e10)
