@@ -1,0 +1,141 @@
+"""The propagation pipeline: seed labels -> full radargram segmentation.
+
+Capability match of the reference inference entry point
+(reference: src/utils.py:93-161):
+  1. (optional) time-flip for last-frame seeding (`use_last`),
+  2. encode all T*N patches and L2-normalize,
+  3. horizontality xent metric,
+  4. host-side PELT change-point detection on the xent difference signal,
+  5. nearest-downsample the seed segmentation column to (N, 1), one-hot,
+  6. sequential top-k label propagation over frames,
+returning (final_prediction (N, T), xent (N, T-1), change_idx).
+
+TPU-first: steps 2, 3, 6 are jitted device programs (6 is a single
+ring-buffer lax.scan rather than a Python frame loop with a growing list);
+the only host round-trip is the tiny (T-2,) PELT signal — the restructuring
+SURVEY.md §7 calls for. A vmapped/sharded batch path propagates many
+radargrams at once for full-survey inference.
+
+BatchNorm note: most reference test scripts never switch the encoder out of
+train mode, so their BN uses batch statistics at inference
+(scripts/test/test_all.py:49-54 — no .train(False); scripts/test/test.py:42
+does call it). `bn_train_mode` reproduces either behavior; default False
+(eval / running stats — deterministic and the documented intent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.labelprop import LabelPropConfig, propagate_labels, radius_mask
+from ..ops.pelt import detect_change_point
+from ..ops.xent_metric import column_diffs, horizontality_xent
+from ..utils.pos_embed import maybe_pos_embed
+from ..utils.resize import resize_nearest
+
+
+@dataclasses.dataclass
+class PropagateResult:
+    prediction: np.ndarray  # (N, T) int32 class map (patch grid)
+    xent: np.ndarray  # (N, T-1) horizontality metric
+    change_idx: int | None  # PELT change point (frame index) or None
+    soft: np.ndarray  # (T, N, M) soft labels
+
+
+@partial(jax.jit, static_argnames=("model", "use_pos_embed", "bn_train_mode"))
+def encode_sequence(model, variables, seq, use_pos_embed: bool, bn_train_mode: bool):
+    """(T, N, H, W) -> (T, N, C) L2-normalized embeddings, one batched
+    encoder forward (reference: src/utils.py:111-115)."""
+    T, N, H, W = seq.shape
+    x = seq.reshape(T * N, H, W, 1)
+    x = maybe_pos_embed(x, use_pos_embed)
+    if bn_train_mode:
+        out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    else:
+        out = model.apply(variables, x, train=False)
+    emb = out.reshape(T, N, -1)
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
+
+
+def seed_onehot_from_segmentation(seg_ref: np.ndarray, n_nodes: int, nclasses: int):
+    """Nearest-resize a seed segmentation patch to one label per node and
+    one-hot it (reference: src/utils.py:139-147)."""
+    col = np.asarray(resize_nearest(np.asarray(seg_ref), (n_nodes, 1)))
+    labels = col[:, 0].astype(np.int32)
+    return np.eye(nclasses, dtype=np.float32)[labels], labels
+
+
+class PropagationPipeline:
+    """Bundles encoder weights + label-prop config into a callable pipeline."""
+
+    def __init__(
+        self,
+        model: Any,
+        variables: dict,
+        lp_cfg: LabelPropConfig,
+        nclasses: int,
+        use_pos_embed: bool = False,
+        bn_train_mode: bool = False,
+        xent_tau: float = 0.1,
+        xent_quirk: bool = False,
+        pelt_pen: float = 5.0,
+    ):
+        self.model = model
+        self.variables = variables
+        self.lp_cfg = lp_cfg
+        self.nclasses = nclasses
+        self.use_pos_embed = use_pos_embed
+        self.bn_train_mode = bn_train_mode
+        self.xent_tau = xent_tau
+        self.xent_quirk = xent_quirk
+        self.pelt_pen = pelt_pen
+
+    def encode(self, seq) -> jnp.ndarray:
+        return encode_sequence(
+            self.model,
+            self.variables,
+            jnp.asarray(seq),
+            self.use_pos_embed,
+            self.bn_train_mode,
+        )
+
+    def __call__(
+        self, seq, seg_ref, use_last: bool = False, detect_change: bool = True
+    ) -> PropagateResult:
+        """seq: (T, N, H, W) host array; seg_ref: 2-D seed segmentation patch
+        covering the first frame's pixels (last frame's if use_last)."""
+        seq = np.asarray(seq, np.float32)
+        if use_last:  # reference: src/utils.py:108
+            seq = seq[::-1].copy()
+        T, N, _, _ = seq.shape
+
+        emb = self.encode(seq)
+        xent = horizontality_xent(
+            emb, self.xent_tau, quirk_channel_shift=self.xent_quirk
+        )
+
+        change_idx = None
+        if detect_change and T >= 4:
+            sig = np.asarray(column_diffs(xent))
+            change_idx = detect_change_point(sig, pen=self.pelt_pen)
+
+        seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
+        soft, pred = propagate_labels(emb, jnp.asarray(seed), self.lp_cfg)
+
+        return PropagateResult(
+            prediction=np.asarray(pred).T.astype(np.int32),  # (N, T)
+            xent=np.asarray(xent),
+            change_idx=change_idx,
+            soft=np.asarray(soft),
+        )
+
+    def prediction_to_pixels(self, prediction: np.ndarray, out_hw: tuple[int, int]):
+        """Upsample the (N, T) patch-grid map to pixels with nearest
+        interpolation (reference: scripts/test/test_all.py:79,96)."""
+        return np.asarray(resize_nearest(prediction.astype(np.int32), out_hw))
