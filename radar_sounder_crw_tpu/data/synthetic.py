@@ -25,7 +25,8 @@ def _smooth_curve(rng: np.random.Generator, W: int, mean: float, wobble: float,
     """A slowly-varying horizon curve of length W around `mean`."""
     steps = rng.standard_normal(W)
     walk = np.cumsum(steps)
-    kernel = np.ones(smoothness) / smoothness
+    k = max(1, min(smoothness, W))  # convolve 'same' needs kernel <= signal
+    kernel = np.ones(k) / k
     walk = np.convolve(walk, kernel, mode="same")
     walk = walk - walk.mean()
     denom = max(np.abs(walk).max(), 1e-6)

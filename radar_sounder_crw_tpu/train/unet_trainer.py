@@ -1,0 +1,179 @@
+"""Supervised UNet baseline trainer (SHARAD strips).
+
+Capability match of the reference UNet experiment
+(reference: scripts/test/test_unet.py): unfold the radargram into
+full-height strips, one-hot the GT, 90/10 random split, Adam, train, then a
+classification report on the held-out strips.
+
+Reference quirk preserved behind a flag (default on for parity): the loss
+soft-maxes the logits and then applies softmax cross-entropy on the
+*probabilities* (reference: scripts/test/test_unet.py:64-65) — a double
+softmax. `quirk_double_softmax=False` trains with standard CE instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.unet import UNet
+from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple, replicated
+
+
+@dataclasses.dataclass
+class UNetTrainConfig:
+    patch_size: tuple[int, int] = (912, 64)
+    split: float = 0.9
+    batch_size: int = 64
+    epochs: int = 100
+    lr: float = 1e-4
+    n_classes: int = 5
+    seed: int = 11
+    quirk_double_softmax: bool = True
+    dtype: object = jnp.float32
+
+
+class UNetState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: object
+    batch_stats: object
+    opt_state: object
+
+
+def unfold_strips(rg: np.ndarray, seg: np.ndarray, strip_w: int, n_classes: int):
+    """Radargram + GT -> (samples (S, H, W, 1), one-hot (S, H, W, M))
+    (reference: scripts/test/test_unet.py:34-40; width-strided unfold)."""
+    H, W = rg.shape
+    S = W // strip_w
+    x = rg[:, : S * strip_w].reshape(H, S, strip_w).transpose(1, 0, 2)
+    y = seg[:, : S * strip_w].reshape(H, S, strip_w).transpose(1, 0, 2)
+    onehot = np.eye(n_classes, dtype=np.float32)[y.astype(np.int64)]
+    return x[..., None].astype(np.float32), onehot
+
+
+class UNetTrainer:
+    def __init__(self, config: UNetTrainConfig, mesh=None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.model = UNet(
+            n_channels=1, n_classes=config.n_classes, bilinear=True, dtype=config.dtype
+        )
+        self.tx = optax.adam(config.lr)
+        repl, bsh = replicated(self.mesh), batch_sharding(self.mesh)
+        self._step = jax.jit(
+            self._step_fn,
+            in_shardings=(repl, bsh, bsh, bsh),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
+        self._infer = jax.jit(
+            self._infer_fn, in_shardings=(repl, bsh), out_shardings=bsh
+        )
+        self.state: UNetState | None = None
+
+    def _loss(self, logits, onehot, weights):
+        if self.config.quirk_double_softmax:
+            probs = jax.nn.softmax(logits, axis=-1)
+            logp = jax.nn.log_softmax(probs, axis=-1)
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -(onehot * logp).sum(-1)  # (B, H, W)
+        per_item = ce.mean(axis=(1, 2))
+        return jnp.sum(per_item * weights) / jnp.sum(weights)
+
+    def _step_fn(self, state: UNetState, x, y, weights):
+        def loss_fn(params):
+            logits, updates = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            return self._loss(logits, y, weights), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        return (
+            UNetState(
+                step=state.step + 1,
+                params=optax.apply_updates(state.params, updates),
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            loss,
+        )
+
+    def _infer_fn(self, state: UNetState, x):
+        logits = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    def init_state(self, sample_shape):
+        H, W = sample_shape[1], sample_shape[2]
+        variables = self.model.init(
+            jax.random.PRNGKey(self.config.seed),
+            jnp.zeros((1, H, W, 1), self.config.dtype),
+            train=False,
+        )
+        self.state = jax.device_put(
+            UNetState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                opt_state=self.tx.init(variables["params"]),
+            ),
+            replicated(self.mesh),
+        )
+        return self.state
+
+    def fit(self, x, y, log: Callable[[str], None] = print):
+        cfg = self.config
+        if self.state is None:
+            self.init_state(x.shape)
+        rng = np.random.default_rng(cfg.seed)
+        history = []
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            order = rng.permutation(len(x))
+            losses = []
+            for s in range(0, len(order), cfg.batch_size):
+                idx = order[s : s + cfg.batch_size]
+                bx, real = pad_to_multiple(x[idx], self.mesh.devices.size)
+                by, _ = pad_to_multiple(y[idx], self.mesh.devices.size)
+                w = np.zeros(len(bx), np.float32)
+                w[:real] = 1.0
+                self.state, loss = self._step(
+                    self.state, jnp.asarray(bx), jnp.asarray(by), jnp.asarray(w)
+                )
+                losses.append(loss)
+            epoch_loss = float(np.mean(jax.device_get(losses)))
+            history.append(epoch_loss)
+            log(f"Epoch: {epoch + 1} Loss: {epoch_loss} Time: {time.time() - t0:.3f}")
+        return history
+
+    def predict(self, x) -> np.ndarray:
+        n = self.mesh.devices.size
+        padded, real = pad_to_multiple(np.asarray(x, np.float32), n)
+        out = self._infer(self.state, jnp.asarray(padded))
+        return np.asarray(jax.device_get(out))[:real]
+
+
+def train_test_split(n: int, split: float, seed: int):
+    """Index split mirroring the reference's random 90/10
+    (reference: scripts/test/test_unet.py:43-46)."""
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(n)
+    n_train = int(split * n)
+    return order[:n_train], order[n_train:]

@@ -1,0 +1,246 @@
+"""Full-dataset quantitative evaluation.
+
+Capability match of reference scripts/test/test_all.py: per-radargram
+propagation (stride seq_length), optional change-point correction, optional
+reverse (use_last) pass with dataset-specific class merges, uncertain-class
+removal, classification report + confusion matrix + wall-clock timings, and
+a saved predicted map.
+
+TPU-native addition: --batched propagates all radargrams in ONE vmapped,
+mesh-sharded device program (full-survey inference) instead of a host loop.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from _common import ensure_dirs, load_encoder, normalize_pair
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser("CRW Test", add_help=True)
+    parser.add_argument("--model", default=1, type=int)
+    parser.add_argument("--dataset", default=1, type=int, help="0=MCORDS1,1=Miguel,3=SHARAD")
+    parser.add_argument("--patch_size", default=(16, 16), nargs="+", type=int)
+    parser.add_argument("--seq_length", default=100, type=int)
+    parser.add_argument("--overlap", default=(8, 0), nargs="+", type=int)
+    parser.add_argument("-c", "--cxt_size", default=100, type=int)
+    parser.add_argument("-r", "--radius", default=10, type=int)
+    parser.add_argument("-t", "--temp", default=0.1, type=float)
+    parser.add_argument("-k", "--knn", default=20, type=int)
+    parser.add_argument("--model_path", default="./resources/models/sharad16_3.pt")
+    parser.add_argument("--output_folder", default="./resources/output/")
+    parser.add_argument("--pos_embed", action="store_true")
+    parser.add_argument("--remove_unc", default=True, type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--flip", action="store_true")
+    parser.add_argument("--use_last", action="store_true")
+    parser.add_argument("--dataset_full", default=True, type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--correction", action="store_true")
+    parser.add_argument("--allow_untrained", action="store_true")
+    parser.add_argument("--batched", action="store_true", help="single sharded device program for all radargrams")
+    parser.add_argument("--no_plots", action="store_true")
+    return parser
+
+
+def main(args):
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.data import create_dataset, get_reference
+    from radar_sounder_crw_tpu.infer import (
+        PropagationPipeline,
+        correction_pixel_offset,
+        splice_correction,
+    )
+    from radar_sounder_crw_tpu.infer.integrate import integrate_flat_mcords3
+    from radar_sounder_crw_tpu.infer.propagate import seed_onehot_from_segmentation
+    from radar_sounder_crw_tpu.ops import (
+        LabelPropConfig,
+        classification_report,
+        confusion_matrix,
+        miou,
+        propagate_labels_batched,
+    )
+    from radar_sounder_crw_tpu.utils.plotting import plot_segmentation
+    from radar_sounder_crw_tpu.utils.resize import resize_nearest
+
+    tim = time.time()
+    print(args)
+    patch = normalize_pair(args.patch_size)
+    overlap = normalize_pair(args.overlap)
+
+    model, variables = load_encoder(
+        args.model, args.pos_embed, args.model_path, args.allow_untrained
+    )
+    dataset = create_dataset(
+        id=args.dataset, length=args.seq_length, dim=patch,
+        overlap=overlap, full=args.dataset_full, flip=args.flip,
+    )
+    dummy = dataset[0]
+    T, N, H, W = dummy.shape
+    nclasses, seg = get_reference(
+        id=args.dataset, h=N * H, w=0, flip=args.flip,
+        length=args.seq_length, dim=patch, overlap=overlap,
+    )
+    lp_cfg = LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn)
+    pipe = PropagationPipeline(
+        model, variables, lp_cfg, nclasses=nclasses, use_pos_embed=args.pos_embed
+    )
+
+    geo = dataset.geo
+    rg_len, rg_h = geo.rg_len(), geo.rg_h()
+    tot_rg = seg.shape[-1] // rg_len
+    print("Num of radargrams:", tot_rg, "Radargram length:", rg_len)
+    seg = seg[:, : tot_rg * rg_len]
+
+    rg_idx_list = (
+        list(range(0, len(dataset), args.seq_length))
+        if args.dataset_full
+        else list(range(tot_rg))
+    )
+    print("\nList of items picked from the dataset:", rg_idx_list, "\n")
+    ensure_dirs(args.output_folder)
+
+    seg_list, change_list = [], []
+    if args.batched:
+        # one device program: encode + propagate all radargrams, sharded
+        seqs = np.stack([dataset[i] for i in rg_idx_list])
+        embs = jnp.stack([pipe.encode(s) for s in seqs])
+        seeds = np.stack(
+            [
+                seed_onehot_from_segmentation(
+                    seg[:rg_h, rg_len * t : rg_len * t + W], N, nclasses
+                )[0]
+                for t in range(len(rg_idx_list))
+            ]
+        )
+        _, preds = propagate_labels_batched(embs, jnp.asarray(seeds), lp_cfg, None)
+        for t in range(len(rg_idx_list)):
+            pred_px = pipe.prediction_to_pixels(
+                np.asarray(preds[t]).T, (seg.shape[0], rg_len)
+            )
+            seg_list.append(pred_px)
+            change_list.append(None)
+    else:
+        for t, idx in enumerate(rg_idx_list):
+            print("Radargram", t)
+            seq = dataset[idx]
+            seg_ref = seg[:rg_h, rg_len * t : rg_len * t + W]
+            res = pipe(seq, seg_ref)
+            pred_px = pipe.prediction_to_pixels(res.prediction, (seg.shape[0], rg_len))
+            if not args.no_plots:
+                plot_segmentation(
+                    pred_px,
+                    save=os.path.join(args.output_folder, f"im{t}.png"),
+                    seg=seg[:, rg_len * t : rg_len * t + rg_len],
+                    dataset=args.dataset,
+                )
+            seg_list.append(pred_px)
+            change_list.append(res.change_idx)
+
+    # Correction step (reference: test_all.py:103-122)
+    if args.correction:
+        print("\nCorrection step")
+        print("Change point for each radargram:", change_list)
+        for t, change_idx in enumerate(change_list):
+            if change_idx is None or change_idx >= args.seq_length - 1:
+                continue
+            print("Radargram", t)
+            try:
+                small_length = args.seq_length - change_idx
+                pixel_offset = correction_pixel_offset(small_length, patch[1], overlap[1])
+                seq = dataset.get_smaller_item(rg_idx_list[t], small_length)
+                c0 = rg_len * t + rg_len - pixel_offset
+                seg_ref = seg[:, c0 : c0 + W]
+                corrected = pipe(seq, seg_ref)
+                seg_list[t] = splice_correction(
+                    seg_list[t], corrected.prediction, pixel_offset
+                )
+                if not args.no_plots:
+                    plot_segmentation(
+                        seg_list[t],
+                        save=os.path.join(args.output_folder, f"im{t}c.png"),
+                        seg=seg[:, rg_len * t : rg_len * t + rg_len],
+                        dataset=args.dataset,
+                    )
+            except Exception as e:  # reference swallows failures here too
+                print(f"  correction failed: {e}")
+
+    final_pred = np.concatenate(seg_list, axis=1)
+    np.save(os.path.join(args.output_folder, "predicted_map.npy"), final_pred.astype(np.int8))
+    try:
+        import torch
+
+        torch.save(
+            torch.from_numpy(final_pred.astype(np.int8)),
+            os.path.join(args.output_folder, "predicted_map.pt"),
+        )
+    except ImportError:
+        pass
+    final_flat = final_pred.ravel()
+    gt_flat = seg.ravel()
+
+    # Reversed pass (reference: test_all.py:132-159)
+    if args.use_last:
+        print("Reversed step\n")
+        nblocks = seg.shape[1] // rg_len
+        seg_rev = (
+            seg[:, : nblocks * rg_len]
+            .reshape(seg.shape[0], nblocks, rg_len)[:, :, ::-1]
+            .reshape(seg.shape[0], -1)
+        )
+        rev_list = []
+        for t, idx in enumerate(rg_idx_list):
+            print("Radargram", t)
+            seq = dataset[idx]
+            seg_ref = seg_rev[:, rg_len * t : rg_len * t + W]
+            res = pipe(seq, seg_ref, use_last=True)
+            pred_px = pipe.prediction_to_pixels(res.prediction, (seg.shape[0], rg_len))
+            rev_list.append(pred_px)
+        rev_map = np.concatenate(rev_list, axis=1)
+        nb = rev_map.shape[1] // rg_len
+        rev_map = (
+            rev_map[:, : nb * rg_len]
+            .reshape(rev_map.shape[0], nb, rg_len)[:, :, ::-1]
+            .reshape(rev_map.shape[0], -1)
+        )
+        if args.dataset in (0, 3):
+            mask = rev_map.ravel() == 2
+            if args.dataset == 3:
+                mask[: len(mask) // 2] = False
+            final_flat = final_flat.copy()
+            final_flat[mask] = 2
+        elif args.dataset == 1:
+            final_flat = integrate_flat_mcords3(final_flat, rev_map)
+
+    # Uncertain-class removal (reference: test_all.py:162-176)
+    if args.remove_unc:
+        if args.dataset == 0:
+            _, unc_seg = get_reference(id=2, h=N * H, w=0, flip=args.flip)
+            unc_seg = unc_seg[:, : tot_rg * rg_len]
+            mask = (unc_seg != 4).ravel()
+            gt, pred = gt_flat[mask], final_flat[mask]
+        elif args.dataset == 1:
+            mask = (gt_flat != 5) & (final_flat != 5)
+            gt, pred = gt_flat[mask], final_flat[mask]
+        else:
+            gt, pred = gt_flat, final_flat
+    else:
+        gt, pred = gt_flat, final_flat
+
+    print("Time elapsed (inference only):", time.time() - tim)
+    print("Computing reports ...\n")
+    ncls_report = max(nclasses, int(gt.max()) + 1, int(pred.max()) + 1)
+    print(classification_report(gt, pred, ncls_report))
+    cm = confusion_matrix(gt, pred, ncls_report)
+    print(cm)
+    print("mIoU:", miou(cm))
+    print("\nTime elapsed (inference + metrics):", time.time() - tim)
+    return final_pred
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

@@ -1,0 +1,108 @@
+"""MCoRDS1 qualitative test: forward + reverse propagation with
+bidirectional integration (capability match of reference
+scripts/test/test_mc1.py: 3 radargrams, patch 32x32, overlap (24,0),
+cxt 80 / radius 30 / temp 0.1 / knn 20, use_last integration with bedrock
+and noise override masks, xent heatmap figures)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from _common import ensure_dirs, load_encoder, normalize_pair
+from _qualitative import load_files_or_synth, window_radargram
+
+
+def get_args_parser():
+    parser = argparse.ArgumentParser("CRW Test MC1", add_help=True)
+    parser.add_argument("--patch_size", default=(32, 32), nargs="+", type=int)
+    parser.add_argument("--seq_length", default=100, type=int)
+    parser.add_argument("--overlap", default=(24, 0), nargs="+", type=int)
+    parser.add_argument("-c", "--cxt_size", default=80, type=int)
+    parser.add_argument("-r", "--radius", default=30, type=int)
+    parser.add_argument("-t", "--temp", default=0.1, type=float)
+    parser.add_argument("-k", "--knn", default=20, type=int)
+    parser.add_argument("--use_last", default=True, type=lambda s: s not in ("0", "false", "False"))
+    parser.add_argument("--model_path", default="./resources/models/latestx.pt")
+    parser.add_argument("--input_folder", default="./resources/input/")
+    parser.add_argument("--output_folder", default="./resources/output/")
+    parser.add_argument("--allow_untrained", action="store_true")
+    return parser
+
+
+def main(args):
+    from radar_sounder_crw_tpu.infer import PropagationPipeline, integrate_bidirectional
+    from radar_sounder_crw_tpu.ops import LabelPropConfig
+    from radar_sounder_crw_tpu.utils.plotting import plot_segmentation, plot_xent_heatmap
+
+    patch, overlap = normalize_pair(args.patch_size), normalize_pair(args.overlap)
+    nclasses = 4
+    model, variables = load_encoder(1, False, args.model_path, args.allow_untrained)
+
+    W = args.seq_length * (patch[1] - overlap[1]) + overlap[1]
+    rgs, sgs = load_files_or_synth(
+        args.input_folder,
+        ["mc1_1.pt", "mc1_2.pt", "mc1_3.pt"],
+        ["mc1_1ref.pt", "mc1_2ref.pt", "mc1_3ref.pt"],
+        nclasses=nclasses,
+        synth_hw=(410, W),
+        seed0=50,
+    )
+    # backward references: separate files in the reference (test_mc1.py:60-62);
+    # synthetic fallback reuses the forward GT
+    _, sgrs = load_files_or_synth(
+        args.input_folder,
+        ["mc1_1.pt", "mc1_2.pt", "mc1_3.pt"],
+        ["mc1_1ref_r.pt", "mc1_2ref_r.pt", "mc1_3ref_r.pt"],
+        nclasses=nclasses,
+        synth_hw=(410, W),
+        seed0=50,
+    )
+
+    seqs = [window_radargram(r, patch, overlap) for r in rgs]
+    T, N, H, Wp = seqs[0].shape
+    rg_len = T * (Wp - overlap[1]) + overlap[1]
+    rg_h = N * (H - overlap[0]) + overlap[0]
+    print("Num of radargrams:", len(seqs), "Radargram length:", rg_len)
+
+    pipe = PropagationPipeline(
+        model, variables,
+        LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn),
+        nclasses=nclasses,
+    )
+    ensure_dirs(args.output_folder)
+    os.makedirs(args.output_folder, exist_ok=True)
+
+    seg_list, xent_list = [], []
+    for t, seq in enumerate(seqs):
+        print("Radargram", t)
+        res = pipe(seq, sgs[t][:rg_h, :Wp])
+        pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
+        plot_segmentation(pred_px, os.path.join(args.output_folder, f"im{t}.png"),
+                          dataset=0, aspect=6)
+        plot_xent_heatmap(res.xent, os.path.join(args.output_folder, f"im{t}xent.png"))
+        seg_list.append(pred_px)
+        xent_list.append(res.xent)
+
+    if args.use_last:
+        print("Reversed step")
+        final_list = []
+        for t, seq in enumerate(seqs):
+            print("Radargram", t)
+            res = pipe(seq, sgrs[t][:rg_h, :Wp], use_last=True)
+            pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
+            pred_px = pred_px[:, ::-1]  # flip back (reference: test_mc1.py:120)
+            plot_segmentation(pred_px, os.path.join(args.output_folder, f"im{t}r.png"),
+                              dataset=0, aspect=6)
+            merged = integrate_bidirectional(seg_list[t], pred_px, style="mcords1")
+            plot_segmentation(merged, os.path.join(args.output_folder, f"im{t}f.png"),
+                              dataset=0, aspect=6)
+            final_list.append(merged)
+        np.save(os.path.join(args.output_folder, "mc1_res.npy"), np.stack(final_list))
+    print("MC1 test done.")
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())
