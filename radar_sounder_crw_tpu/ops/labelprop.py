@@ -89,8 +89,28 @@ def _prop_step(mask, temperature, knn, carry, q):
     return (feats, labels, valid, ptr + 1), pred
 
 
-@partial(jax.jit, static_argnames=("cfg", "grid_hw"))
-def propagate_labels(emb, seed_labels, cfg: LabelPropConfig, grid_hw=None):
+def _prop_step_fused(mask, temperature, knn, interpret, carry, q):
+    """Fused-kernel variant of _prop_step (see labelprop_pallas.py)."""
+    from .labelprop_pallas import prop_step_pallas
+
+    feats, labels, valid, ptr = carry
+    K, N, C = feats.shape
+    slot_bias = (1.0 - valid) * NEG_INVALID
+    pred = prop_step_pallas(
+        feats, q, mask, labels, slot_bias, 1.0 / temperature, knn,
+        interpret=interpret,
+    )
+    slot = 1 + jnp.mod(ptr, K - 1)
+    feats = feats.at[slot].set(q)
+    labels = labels.at[slot].set(pred)
+    valid = valid.at[slot].set(1.0)
+    return (feats, labels, valid, ptr + 1), pred
+
+
+@partial(jax.jit, static_argnames=("cfg", "grid_hw", "kernel"))
+def propagate_labels(
+    emb, seed_labels, cfg: LabelPropConfig, grid_hw=None, kernel: str = "auto"
+):
     """Propagate seed labels through a frame sequence.
 
     Args:
@@ -99,11 +119,16 @@ def propagate_labels(emb, seed_labels, cfg: LabelPropConfig, grid_hw=None):
       cfg: LabelPropConfig.
       grid_hw: patch-grid shape per frame; default (N, 1) — a vertical column
         of patches, the geometry of this pipeline (reference utils.py:148).
+      kernel: 'xla' (pure-JAX step), 'pallas' (fused TPU kernel),
+        'pallas_interpret' (kernel in interpreter mode, for CPU tests), or
+        'auto' (fused kernel on TPU when the context fits VMEM, else XLA).
 
     Returns:
       soft: (T, N, M) soft labels per frame (frame 0 = seed as given).
       pred: (T, N) int32 argmax labels.
     """
+    from .labelprop_pallas import fits_vmem
+
     T, N, C = emb.shape
     M = seed_labels.shape[-1]
     h, w = grid_hw if grid_hw is not None else (N, 1)
@@ -115,7 +140,21 @@ def propagate_labels(emb, seed_labels, cfg: LabelPropConfig, grid_hw=None):
     labels0 = jnp.zeros((K, N, M), jnp.float32).at[0].set(seed_labels)
     valid0 = jnp.zeros((K,), jnp.float32).at[0].set(1.0)
 
-    step = partial(_prop_step, mask, cfg.temperature, cfg.knn)
+    if kernel == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        kernel = "pallas" if (on_tpu and fits_vmem(K, N, C, M)) else "xla"
+    if kernel == "xla":
+        step = partial(_prop_step, mask, cfg.temperature, cfg.knn)
+    elif kernel in ("pallas", "pallas_interpret"):
+        step = partial(
+            _prop_step_fused,
+            mask,
+            cfg.temperature,
+            cfg.knn,
+            kernel == "pallas_interpret",
+        )
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
     (_, _, _, _), soft_rest = jax.lax.scan(
         step, (feats0, labels0, valid0, jnp.zeros((), jnp.int32)), emb[1:]
     )

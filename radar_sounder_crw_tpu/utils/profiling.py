@@ -26,9 +26,12 @@ class StepTimer:
         self._t0 = time.perf_counter()
 
     def stop(self, *sync_on):
-        """Stop the clock after blocking on the given device values."""
+        """Stop the clock after the given device values have fully
+        materialized. Uses device_get rather than block_until_ready: remote-
+        execution backends (e.g. tunneled TPU) can acknowledge readiness
+        before execution completes, and only a host fetch is truthful."""
         for x in sync_on:
-            jax.block_until_ready(x)
+            jax.device_get(x)
         assert self._t0 is not None, "start() not called"
         self.times.append(time.perf_counter() - self._t0)
         self._t0 = None
