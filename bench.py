@@ -68,13 +68,18 @@ def main():
     # fetching the last loss transitively waits for every step — unlike
     # block_until_ready, which under-reports through remote-execution relays.
     state = trainer.state
-    for _ in range(3):
+    tc = time.perf_counter()
+    state, loss = trainer._step(state, seq_dev, w_dev)
+    _ = float(jax.device_get(loss))
+    print(f"compile+first step: {time.perf_counter() - tc:.1f} s", file=sys.stderr)
+    for _ in range(2):
         state, loss = trainer._step(state, seq_dev, w_dev)
     _ = float(jax.device_get(loss))
-    iters = 20
+    iters = int(os.environ.get("RSCRW_BENCH_ITERS", "8"))
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         state, loss = trainer._step(state, seq_dev, w_dev)
+        print(f"step {i}", file=sys.stderr)
     loss_val = float(jax.device_get(loss))
     dt = (time.perf_counter() - t0) / iters
     steps_per_sec = 1.0 / dt

@@ -139,3 +139,42 @@ class PropagationPipeline:
         """Upsample the (N, T) patch-grid map to pixels with nearest
         interpolation (reference: scripts/test/test_all.py:79,96)."""
         return np.asarray(resize_nearest(prediction.astype(np.int32), out_hw))
+
+    def propagate_batch(self, seqs, seg_refs, mesh=None, use_last: bool = False):
+        """Full-survey inference: propagate R radargrams in one sharded
+        device program (the scale-out equivalent of the reference's
+        per-radargram host loop, scripts/test/test_all.py:91-100).
+
+        seqs: (R, T, N, H, W); seg_refs: list of R seed segmentation patches.
+        Shards the radargram axis over the mesh (padding R to the mesh size);
+        each device runs its ring-buffer scans locally — no cross-device
+        traffic during propagation. Returns (R, N, T) int32 predictions.
+        """
+        from ..ops.labelprop import propagate_labels_batched
+        from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple
+
+        seqs = np.asarray(seqs, np.float32)
+        if use_last:
+            seqs = seqs[:, ::-1].copy()
+        R, T, N, _, _ = seqs.shape
+        mesh = make_mesh() if mesh is None else mesh
+
+        embs = jnp.stack([self.encode(s) for s in seqs])
+        seeds = jnp.stack(
+            [
+                jnp.asarray(
+                    seed_onehot_from_segmentation(sr, N, self.nclasses)[0]
+                )
+                for sr in seg_refs
+            ]
+        )
+        embs_p, real = pad_to_multiple(np.asarray(embs), mesh.devices.size)
+        seeds_p, _ = pad_to_multiple(np.asarray(seeds), mesh.devices.size)
+        bsh = batch_sharding(mesh)
+        embs_d = jax.device_put(jnp.asarray(embs_p), bsh)
+        seeds_d = jax.device_put(jnp.asarray(seeds_p), bsh)
+        # vmapped scans stay on the XLA step (vmap-of-pallas turns the batch
+        # into a sequential grid; the XLA path batches the matmuls instead)
+        _, pred = propagate_labels_batched(embs_d, seeds_d, self.lp_cfg, None, "xla")
+        out = np.asarray(jax.device_get(pred))[:real]  # (R, T, N)
+        return out.transpose(0, 2, 1).astype(np.int32)  # (R, N, T)

@@ -163,7 +163,7 @@ def propagate_labels(
 
 
 propagate_labels_batched = jax.vmap(
-    propagate_labels, in_axes=(0, 0, None, None), out_axes=0
+    propagate_labels, in_axes=(0, 0, None, None, None), out_axes=0
 )
 propagate_labels_batched.__doc__ = """vmap of propagate_labels over a leading
 radargram batch axis — the scale-out path for full-survey inference (shard

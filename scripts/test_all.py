@@ -47,8 +47,6 @@ def get_args_parser():
 
 
 def main(args):
-    import jax.numpy as jnp
-
     from radar_sounder_crw_tpu.data import create_dataset, get_reference
     from radar_sounder_crw_tpu.infer import (
         PropagationPipeline,
@@ -56,16 +54,13 @@ def main(args):
         splice_correction,
     )
     from radar_sounder_crw_tpu.infer.integrate import integrate_flat_mcords3
-    from radar_sounder_crw_tpu.infer.propagate import seed_onehot_from_segmentation
     from radar_sounder_crw_tpu.ops import (
         LabelPropConfig,
         classification_report,
         confusion_matrix,
         miou,
-        propagate_labels_batched,
     )
     from radar_sounder_crw_tpu.utils.plotting import plot_segmentation
-    from radar_sounder_crw_tpu.utils.resize import resize_nearest
 
     tim = time.time()
     print(args)
@@ -106,22 +101,16 @@ def main(args):
 
     seg_list, change_list = [], []
     if args.batched:
-        # one device program: encode + propagate all radargrams, sharded
+        # one device program: encode + propagate all radargrams, the
+        # radargram axis sharded over the mesh (full-survey inference)
         seqs = np.stack([dataset[i] for i in rg_idx_list])
-        embs = jnp.stack([pipe.encode(s) for s in seqs])
-        seeds = np.stack(
-            [
-                seed_onehot_from_segmentation(
-                    seg[:rg_h, rg_len * t : rg_len * t + W], N, nclasses
-                )[0]
-                for t in range(len(rg_idx_list))
-            ]
-        )
-        _, preds = propagate_labels_batched(embs, jnp.asarray(seeds), lp_cfg, None)
+        seg_refs = [
+            seg[:rg_h, rg_len * t : rg_len * t + W]
+            for t in range(len(rg_idx_list))
+        ]
+        preds = pipe.propagate_batch(seqs, seg_refs)  # (R, N, T)
         for t in range(len(rg_idx_list)):
-            pred_px = pipe.prediction_to_pixels(
-                np.asarray(preds[t]).T, (seg.shape[0], rg_len)
-            )
+            pred_px = pipe.prediction_to_pixels(preds[t], (seg.shape[0], rg_len))
             seg_list.append(pred_px)
             change_list.append(None)
     else:

@@ -103,7 +103,7 @@ def test_batched_vmap():
     seeds = np.stack([onehot_seed(N, M, seed=i) for i in range(B)])
     cfg = LabelPropConfig(cxt_size=6, radius=4, temperature=0.1, knn=3)
     soft, pred = propagate_labels_batched(
-        jnp.asarray(emb), jnp.asarray(seeds), cfg, None
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "xla"
     )
     assert soft.shape == (B, T, N, M)
     assert pred.shape == (B, T, N)
