@@ -91,6 +91,12 @@ def _synth_pair(dataset_id: int) -> tuple[np.ndarray, np.ndarray]:
     if dataset_id not in _synth_cache:
         spec = DATASETS[dataset_id]
         H, W = spec.synth_shape
+        # RSCRW_SYNTH_SCALE=k shrinks synthetic width by k (fast CI smoke
+        # runs on the 1-core host); Miguel keeps full width — its trim
+        # offsets are absolute (reference: src/dataset.py:67)
+        scale = int(os.environ.get("RSCRW_SYNTH_SCALE", "1"))
+        if scale > 1 and not spec.trim:
+            W = max(W // scale, 1024)
         rg, seg = synthetic_radargram(
             H=H, W=W, nclasses=spec.nclasses, seed=spec.synth_seed
         )

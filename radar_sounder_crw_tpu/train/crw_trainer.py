@@ -159,20 +159,29 @@ class CRWTrainer:
         self.n_params = param_count(params)
         return self.state
 
-    def train_step(self, batch: np.ndarray) -> float:
-        """One optimizer step on a host batch (any size; padded to the mesh)."""
+    def _stage(self, batch: np.ndarray):
+        """Pad a host batch to the mesh and start its async device transfer."""
         n_dev = self.mesh.devices.size
         padded, real = pad_to_multiple(np.asarray(batch, np.float32), n_dev)
         weights = np.zeros(padded.shape[0], np.float32)
         weights[:real] = 1.0
-        self.state, loss = self._step(
-            self.state, jnp.asarray(padded), jnp.asarray(weights)
+        bsh = batch_sharding(self.mesh)
+        return (
+            jax.device_put(jnp.asarray(padded), bsh),
+            jax.device_put(jnp.asarray(weights), bsh),
         )
+
+    def train_step(self, batch: np.ndarray) -> float:
+        """One optimizer step on a host batch (any size; padded to the mesh)."""
+        seq, weights = self._stage(batch)
+        self.state, loss = self._step(self.state, seq, weights)
         return loss
 
     def fit(self, dataset, log: Callable[[str], None] = print):
         """Epoch loop: shuffle, batch, step; per-epoch mean loss + wall time
-        (reference: scripts/train.py:62-75)."""
+        (reference: scripts/train.py:62-75). Input pipeline: the next batch's
+        host->device transfer is started while the current step computes
+        (device_put is async), hiding transfer latency behind the MXU."""
         cfg = self.config
         if self.state is None:
             self.init_state(dataset[0].shape)
@@ -181,11 +190,20 @@ class CRWTrainer:
         for epoch in range(cfg.epochs):
             t0 = time.time()
             order = rng.permutation(len(dataset))
+            starts = list(range(0, len(order), cfg.batch_size))
+
+            def host_batch(si):
+                idxs = order[starts[si] : starts[si] + cfg.batch_size]
+                return np.stack([dataset[int(i)] for i in idxs])
+
             losses = []
-            for start in range(0, len(order), cfg.batch_size):
-                idxs = order[start : start + cfg.batch_size]
-                batch = np.stack([dataset[int(i)] for i in idxs])
-                losses.append(self.train_step(batch))
+            staged = self._stage(host_batch(0)) if starts else None
+            for si in range(len(starts)):
+                seq, weights = staged
+                if si + 1 < len(starts):
+                    staged = self._stage(host_batch(si + 1))  # prefetch
+                self.state, loss = self._step(self.state, seq, weights)
+                losses.append(loss)
             epoch_loss = float(np.mean(jax.device_get(losses)))
             history.append(epoch_loss)
             log(

@@ -43,6 +43,10 @@ def get_args_parser():
     parser.add_argument("--allow_untrained", action="store_true")
     parser.add_argument("--batched", action="store_true", help="single sharded device program for all radargrams")
     parser.add_argument("--no_plots", action="store_true")
+    parser.add_argument("--bn_train_mode", action="store_true",
+                        help="BatchNorm batch stats at inference (the reference's de-facto behavior)")
+    parser.add_argument("--xent_quirk", action="store_true",
+                        help="reproduce the reference's channel-shifted xent metric")
     return parser
 
 
@@ -82,7 +86,8 @@ def main(args):
     )
     lp_cfg = LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn)
     pipe = PropagationPipeline(
-        model, variables, lp_cfg, nclasses=nclasses, use_pos_embed=args.pos_embed
+        model, variables, lp_cfg, nclasses=nclasses, use_pos_embed=args.pos_embed,
+        bn_train_mode=args.bn_train_mode, xent_quirk=args.xent_quirk,
     )
 
     geo = dataset.geo
