@@ -1,5 +1,5 @@
 from .patchify import GridGeometry, unfold2d, window_geometry
-from .radargram import RGWindows, load_radargram, trim_miguel
+from .radargram import ConcatWindows, RGWindows, load_radargram, trim_miguel
 from .synthetic import synthetic_radargram
 from .registry import create_dataset, get_reference, DATASETS
 
@@ -8,6 +8,7 @@ __all__ = [
     "unfold2d",
     "window_geometry",
     "RGWindows",
+    "ConcatWindows",
     "load_radargram",
     "trim_miguel",
     "synthetic_radargram",

@@ -120,3 +120,31 @@ class RGWindows:
     def item_shape(self) -> tuple[int, int, int, int]:
         g = self.geo
         return (g.length, g.nh, g.h, g.w)
+
+
+class ConcatWindows:
+    """Concatenation of several window datasets with identical item shapes —
+    batched multi-radargram training (mixing flight lines / products in one
+    run; the reference trains on a single concatenated file instead,
+    src/dataset.py:12-14)."""
+
+    def __init__(self, datasets: list):
+        shapes = {tuple(d.item_shape) for d in datasets}
+        if len(shapes) != 1:
+            raise ValueError(f"item shapes differ across datasets: {shapes}")
+        self.datasets = list(datasets)
+        self.geo = datasets[0].geo
+        self._offsets = np.cumsum([0] + [len(d) for d in datasets])
+
+    @property
+    def item_shape(self):
+        return self.datasets[0].item_shape
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        if index < 0 or index >= len(self):
+            raise IndexError(index)
+        d = int(np.searchsorted(self._offsets, index, side="right") - 1)
+        return self.datasets[d][index - int(self._offsets[d])]

@@ -47,6 +47,10 @@ def get_args_parser():
     parser.add_argument("--ckpt_dir", default=None, help="orbax checkpoint dir (enables resume)")
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--tune_samples", default=50, type=int)
+    parser.add_argument("--tune_dataset", default=0, type=int,
+                        help="dataset id for --tune trials (reference hardcodes 0)")
+    parser.add_argument("--tune_model", default=1, type=int)
+    parser.add_argument("--tune_seq_length", default=8, type=int)
     return parser
 
 
@@ -112,13 +116,14 @@ def main(args):
     print("Finished training.")
 
 
-def tune_main(args):
-    """ASHA search over the reference's config grid (scripts/train.py:108-128)."""
+def tune_main(args, space=None):
+    """ASHA search over the reference's config grid (scripts/train.py:108-128).
+    `space` is injectable for tests/smokes; defaults to the reference grid."""
     from radar_sounder_crw_tpu.data import create_dataset
     from radar_sounder_crw_tpu.train import CRWTrainConfig, CRWTrainer
     from radar_sounder_crw_tpu.train.tune import run_asha
 
-    space = {
+    space = space or {
         "batch_size": [16, 8],
         "lr": [1e-2, 1e-3, 1e-4, 1e-5],
         "tau": [1e-1, 1e-2, 1e-3, 1e-4],
@@ -126,18 +131,18 @@ def tune_main(args):
         "overlap": [(24, 0), (16, 0)],
         "pos_embed": [False, True],
     }
-    seq_length = 8
+    seq_length = args.tune_seq_length
     datasets: dict = {}
 
     def make_trainer(config):
         key = (config["patch_size"], config["overlap"])
         if key not in datasets:
             datasets[key] = create_dataset(
-                id=0, length=seq_length, dim=config["patch_size"],
+                id=args.tune_dataset, length=seq_length, dim=config["patch_size"],
                 overlap=config["overlap"], full=True,
             )
         cfg = CRWTrainConfig(
-            model=1, patch_size=config["patch_size"], seq_length=seq_length,
+            model=args.tune_model, patch_size=config["patch_size"], seq_length=seq_length,
             overlap=config["overlap"], batch_size=config["batch_size"],
             epochs=1, lr=config["lr"], tau=config["tau"],
             pos_embed=config["pos_embed"], seed=args.seed,
