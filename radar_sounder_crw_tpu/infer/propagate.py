@@ -173,8 +173,9 @@ class PropagationPipeline:
         bsh = batch_sharding(mesh)
         embs_d = jax.device_put(jnp.asarray(embs_p), bsh)
         seeds_d = jax.device_put(jnp.asarray(seeds_p), bsh)
-        # vmapped scans stay on the XLA step (vmap-of-pallas turns the batch
-        # into a sequential grid; the XLA path batches the matmuls instead)
-        _, pred = propagate_labels_batched(embs_d, seeds_d, self.lp_cfg, None, "xla")
+        # 'auto' resolves per backend: on TPU the fused Pallas step under vmap
+        # (sequential grid per radargram) measured 7.6x faster than the
+        # vmapped XLA top_k path (14.6 vs 111.8 ms/radargram at R=8, v5e)
+        _, pred = propagate_labels_batched(embs_d, seeds_d, self.lp_cfg, None, "auto")
         out = np.asarray(jax.device_get(pred))[:real]  # (R, T, N)
         return out.transpose(0, 2, 1).astype(np.int32)  # (R, N, T)

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import argparse
 import os
 import sys
 
@@ -17,23 +16,11 @@ if os.environ.get("RSCRW_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 
-def pair(values) -> tuple[int, int]:
-    """argparse type/normalizer for (h, w)-style pairs. The reference
-    declares these flags type=int with tuple defaults, so only the defaults
-    ever worked (reference: scripts/train.py:24-26); here both '16 16' and
-    '16,16' parse."""
-    if isinstance(values, (tuple, list)):
-        return tuple(int(v) for v in values)  # type: ignore[return-value]
-    if "," in str(values):
-        return tuple(int(v) for v in str(values).split(","))  # type: ignore
-    return (int(values), int(values))
-
-
-def add_pair_argument(parser: argparse.ArgumentParser, name: str, default):
-    parser.add_argument(name, default=default, nargs="+", type=int)
-
-
 def normalize_pair(v) -> tuple[int, int]:
+    """Normalize (h, w)-style flags. The reference declares these flags
+    type=int with tuple defaults, so only the defaults ever worked
+    (reference: scripts/train.py:24-26); here `--patch_size 16 16`,
+    `--patch_size 16`, and tuple defaults all parse."""
     if isinstance(v, int):
         return (v, v)
     t = tuple(int(x) for x in v)
