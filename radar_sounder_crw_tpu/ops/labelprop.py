@@ -140,17 +140,18 @@ def propagate_labels(
     labels0 = jnp.zeros((K, N, M), jnp.float32).at[0].set(seed_labels)
     valid0 = jnp.zeros((K,), jnp.float32).at[0].set(1.0)
 
+    knn = min(cfg.knn, K * N)  # top-k cannot exceed the candidate count
     if kernel == "auto":
         on_tpu = jax.default_backend() == "tpu"
         kernel = "pallas" if (on_tpu and fits_vmem(K, N, C, M)) else "xla"
     if kernel == "xla":
-        step = partial(_prop_step, mask, cfg.temperature, cfg.knn)
+        step = partial(_prop_step, mask, cfg.temperature, knn)
     elif kernel in ("pallas", "pallas_interpret"):
         step = partial(
             _prop_step_fused,
             mask,
             cfg.temperature,
-            cfg.knn,
+            knn,
             kernel == "pallas_interpret",
         )
     else:

@@ -111,6 +111,21 @@ def test_batched_vmap():
     np.testing.assert_allclose(np.asarray(soft[1]), np.asarray(s0), rtol=1e-5)
 
 
+def test_knn_exceeding_candidates_is_clamped():
+    """knn larger than the context candidate count must not crash (top_k
+    would reject k > axis size); both kernels agree after clamping."""
+    T, N, C, M = 4, 4, 8, 3
+    emb = random_emb(T, N, C, seed=9)
+    seed = onehot_seed(N, M, seed=9)
+    cfg = LabelPropConfig(cxt_size=1, radius=2, temperature=0.1, knn=50)
+    s1, p1 = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla")
+    s2, p2 = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, None, "pallas_interpret"
+    )
+    assert np.isfinite(np.asarray(s1)).all()
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-6)
+
+
 def test_radius_mask_column_and_grid():
     m = radius_mask(6, 1, 2)
     want = np.where(
