@@ -46,6 +46,8 @@ def get_args_parser():
     parser.add_argument("--seed", default=11, type=int)
     parser.add_argument("--ckpt_dir", default=None, help="orbax checkpoint dir (enables resume)")
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of the run to this dir")
     parser.add_argument("--tune_samples", default=50, type=int)
     parser.add_argument("--tune_dataset", default=0, type=int,
                         help="dataset id for --tune trials (reference hardcodes 0)")
@@ -90,6 +92,7 @@ def main(args):
         save_encoder_torch,
     )
     from radar_sounder_crw_tpu.utils.plotting import plot_loss_curve
+    from radar_sounder_crw_tpu.utils.profiling import profile_trace
 
     cfg, dataset = build(args)
     trainer = CRWTrainer(cfg)
@@ -103,7 +106,8 @@ def main(args):
             trainer.state = mgr.restore(jax.device_get(trainer.state))
             print(f"Resumed from step {mgr.latest_step()}")
 
-    history = trainer.fit(dataset)
+    with profile_trace(args.profile_dir):
+        history = trainer.fit(dataset)
 
     ensure_dirs(args.output_folder)
     plot_loss_curve(history, os.path.join(args.output_folder, "output", "_loss.png"))

@@ -1,0 +1,83 @@
+"""PropagationPipeline option coverage: pos-embed encoders, BatchNorm
+train-mode inference, the xent quirk flag, and 2-D patch grids."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_sounder_crw_tpu.data import synthetic_radargram, RGWindows
+from radar_sounder_crw_tpu.infer import PropagationPipeline
+from radar_sounder_crw_tpu.models import create_model
+from radar_sounder_crw_tpu.ops import LabelPropConfig, propagate_labels
+from radar_sounder_crw_tpu.utils.pos_embed import pos_embed
+
+
+def make_pipe(model_id=0, use_pos_embed=False, **kw):
+    model = create_model(model_id, use_pos_embed)
+    in_ch = 2 if use_pos_embed else 1
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 16, 16, in_ch), np.float32), train=False
+    )
+    return PropagationPipeline(
+        model,
+        dict(variables),
+        LabelPropConfig(cxt_size=6, radius=5, temperature=0.1, knn=4),
+        nclasses=4,
+        use_pos_embed=use_pos_embed,
+        **kw,
+    )
+
+
+def setup_seq():
+    rg, seg = synthetic_radargram(H=96, W=400, seed=30, change_point=None)
+    ds = RGWindows(rg, length=6, dim=(16, 16), overlap=(8, 0))
+    return ds[0], seg[: ds.geo.rg_h(), : ds.geo.w]
+
+
+def test_pos_embed_pipeline_runs_and_differs():
+    seq, ref = setup_seq()
+    plain = make_pipe(use_pos_embed=False)(seq, ref)
+    pe = make_pipe(use_pos_embed=True)(seq, ref)
+    assert pe.prediction.shape == plain.prediction.shape
+    assert np.isfinite(pe.xent).all()
+
+
+def test_bn_train_mode_changes_resnet_outputs():
+    seq, ref = setup_seq()
+    a = make_pipe(model_id=1)(seq, ref)
+    b = make_pipe(model_id=1, bn_train_mode=True)(seq, ref)
+    # batch-stat BN vs fresh running stats must differ measurably
+    assert not np.allclose(a.xent, b.xent)
+
+
+def test_xent_quirk_flag_changes_metric():
+    seq, ref = setup_seq()
+    a = make_pipe()(seq, ref)
+    b = make_pipe(xent_quirk=True)(seq, ref)
+    assert a.xent.shape == b.xent.shape
+    assert not np.allclose(a.xent, b.xent)
+
+
+def test_pos_embed_values():
+    x = jnp.zeros((2, 8, 4, 1))
+    out = pos_embed(x)
+    assert out.shape == (2, 8, 4, 2)
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, 0, 0]), np.arange(8) / 8 - 0.5, rtol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(out[..., 1]), 0.0)
+
+
+def test_2d_grid_propagation():
+    """Label propagation on a (h, w) patch grid (not just a column)."""
+    rng = np.random.default_rng(0)
+    T, h, w, C, M = 5, 4, 3, 16, 3
+    N = h * w
+    emb = rng.standard_normal((T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seed = np.eye(M, dtype=np.float32)[rng.integers(0, M, N)]
+    cfg = LabelPropConfig(cxt_size=4, radius=1.5, temperature=0.1, knn=3)
+    soft, pred = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, grid_hw=(h, w)
+    )
+    assert soft.shape == (T, N, M) and np.isfinite(np.asarray(soft)).all()
