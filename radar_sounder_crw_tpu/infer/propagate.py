@@ -140,7 +140,10 @@ class PropagationPipeline:
         interpolation (reference: scripts/test/test_all.py:79,96)."""
         return np.asarray(resize_nearest(prediction.astype(np.int32), out_hw))
 
-    def propagate_batch(self, seqs, seg_refs, mesh=None, use_last: bool = False):
+    def propagate_batch(
+        self, seqs, seg_refs, mesh=None, use_last: bool = False,
+        detect_change: bool = False,
+    ):
         """Full-survey inference: propagate R radargrams in one sharded
         device program (the scale-out equivalent of the reference's
         per-radargram host loop, scripts/test/test_all.py:91-100).
@@ -148,9 +151,14 @@ class PropagationPipeline:
         seqs: (R, T, N, H, W); seg_refs: list of R seed segmentation patches.
         Shards the radargram axis over the mesh (padding R to the mesh size);
         each device runs its ring-buffer scans locally — no cross-device
-        traffic during propagation. Returns (R, N, T) int32 predictions.
+        traffic during propagation.
+
+        Returns (R, N, T) int32 predictions, or with detect_change=True a
+        tuple (predictions, change_indices) where change detection runs on
+        the batched xent metric (device) + per-radargram PELT (host).
         """
         from ..ops.labelprop import propagate_labels_batched
+        from ..ops.xent_metric import column_diffs, horizontality_xent
         from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple
 
         seqs = np.asarray(seqs, np.float32)
@@ -178,4 +186,23 @@ class PropagationPipeline:
         # vmapped XLA top_k path (14.6 vs 111.8 ms/radargram at R=8, v5e)
         _, pred = propagate_labels_batched(embs_d, seeds_d, self.lp_cfg, None, "auto")
         out = np.asarray(jax.device_get(pred))[:real]  # (R, T, N)
-        return out.transpose(0, 2, 1).astype(np.int32)  # (R, N, T)
+        preds = out.transpose(0, 2, 1).astype(np.int32)  # (R, N, T)
+        if not detect_change:
+            return preds
+
+        change = []
+        if T >= 4:
+            xent_fn = jax.vmap(
+                lambda e: column_diffs(
+                    horizontality_xent(
+                        e, self.xent_tau, quirk_channel_shift=self.xent_quirk
+                    )
+                )
+            )
+            sigs = np.asarray(jax.device_get(xent_fn(embs_d)))[:real]
+            from ..ops.pelt import detect_change_point
+
+            change = [detect_change_point(s, pen=self.pelt_pen) for s in sigs]
+        else:
+            change = [None] * real
+        return preds, change

@@ -47,6 +47,11 @@ def get_args_parser():
                         help="BatchNorm batch stats at inference (the reference's de-facto behavior)")
     parser.add_argument("--xent_quirk", action="store_true",
                         help="reproduce the reference's channel-shifted xent metric")
+    parser.add_argument("--correction_tail", action="store_true",
+                        help="correct with the true tail frames [change_idx:] "
+                        "(the mc1/mc3/sharad-style intended semantics) instead "
+                        "of the reference test_all behavior of re-propagating "
+                        "the HEAD window with a tail seed")
     return parser
 
 
@@ -107,17 +112,19 @@ def main(args):
     seg_list, change_list = [], []
     if args.batched:
         # one device program: encode + propagate all radargrams, the
-        # radargram axis sharded over the mesh (full-survey inference)
+        # radargram axis sharded over the mesh (full-survey inference);
+        # change detection runs on the batched xent, host-side per radargram
         seqs = np.stack([dataset[i] for i in rg_idx_list])
         seg_refs = [
             seg[:rg_h, rg_len * t : rg_len * t + W]
             for t in range(len(rg_idx_list))
         ]
-        preds = pipe.propagate_batch(seqs, seg_refs)  # (R, N, T)
+        preds, change_list = pipe.propagate_batch(
+            seqs, seg_refs, detect_change=True
+        )
         for t in range(len(rg_idx_list)):
             pred_px = pipe.prediction_to_pixels(preds[t], (seg.shape[0], rg_len))
             seg_list.append(pred_px)
-            change_list.append(None)
     else:
         for t, idx in enumerate(rg_idx_list):
             print("Radargram", t)
@@ -146,7 +153,15 @@ def main(args):
             try:
                 small_length = args.seq_length - change_idx
                 pixel_offset = correction_pixel_offset(small_length, patch[1], overlap[1])
-                seq = dataset.get_smaller_item(rg_idx_list[t], small_length)
+                if args.correction_tail:
+                    # intended semantics: re-propagate the actual tail frames
+                    # (reference: scripts/test/test_mc3.py:126)
+                    seq = dataset[rg_idx_list[t]][change_idx:]
+                else:
+                    # reference test_all behavior: head window of small_length
+                    # frames, seeded with the tail's seed column
+                    # (reference: scripts/test/test_all.py:114)
+                    seq = dataset.get_smaller_item(rg_idx_list[t], small_length)
                 c0 = rg_len * t + rg_len - pixel_offset
                 seg_ref = seg[:, c0 : c0 + W]
                 corrected = pipe(seq, seg_ref)

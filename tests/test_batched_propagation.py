@@ -39,3 +39,13 @@ def test_propagate_batch_matches_sequential():
     for t in range(5):
         res = pipe(seqs[t], refs[t], detect_change=False)
         np.testing.assert_array_equal(batched[t], res.prediction)
+
+    # batched change detection matches the sequential pipeline's
+    preds2, change = pipe.propagate_batch(
+        seqs, refs, mesh=make_mesh(), detect_change=True
+    )
+    np.testing.assert_array_equal(preds2, batched)
+    assert len(change) == 5
+    for t in range(5):
+        seq_res = pipe(seqs[t], refs[t], detect_change=True)
+        assert change[t] == seq_res.change_idx
