@@ -1,0 +1,92 @@
+"""Cross-implementation equivalence against the UPSTREAM label-propagation
+code itself.
+
+Imports the reference's `imported/labelprop.py` + `imported/maskedatt.py`
+read-only from /root/reference (torch CPU; the hardcoded 'cuda' strings are
+neutralized with a test-local torch.Tensor.to patch) and runs its
+LabelPropVOS_CRW.predict frame loop against our ring-buffer scan on the same
+embeddings and seeds. For T <= CXT_SIZE+1 (no context trimming — the regime
+of the reference's test.py/test_all.py defaults) the two implementations must
+agree to float tolerance.
+
+Skipped automatically when the reference tree is not present.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "imported")),
+    reason="reference tree not available",
+)
+
+
+def run_reference_labelprop(emb, seed_onehot, cxt, radius, temp, knn):
+    """Drive the upstream predict() loop on CPU torch."""
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from imported.labelprop import LabelPropVOS_CRW  # noqa: E402
+
+    orig_to = torch.Tensor.to
+
+    def patched_to(self, *args, **kwargs):
+        args = tuple("cpu" if a == "cuda" else a for a in args)
+        if kwargs.get("device") == "cuda":
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = patched_to
+    try:
+        lp = LabelPropVOS_CRW(
+            {"CXT_SIZE": cxt, "RADIUS": radius, "TEMP": temp, "KNN": knn}
+        )
+        T, N, C = emb.shape
+        M = seed_onehot.shape[-1]
+        # feats: [1, K, h=N, w=1]; masks: [1, M, N, 1]
+        feats = [torch.tensor(emb[0].T[None, :, :, None])]
+        masks = [torch.tensor(seed_onehot.T[None, :, :, None])]
+        preds = [seed_onehot.copy()]
+        for t in range(1, T):
+            curr = torch.tensor(emb[t].T[None, :, :, None])
+            mask = lp.predict(feats=feats, masks=masks, curr_feat=curr)
+            feats.append(curr)
+            masks.append(mask)
+            preds.append(mask[0, :, :, 0].T.numpy())
+        return np.stack(preds)
+    finally:
+        torch.Tensor.to = orig_to
+
+
+@pytest.mark.parametrize(
+    "T,ctx,radius,temp,knn",
+    [
+        (8, 10, 5, 0.07, 4),  # no trimming
+        (6, 12, 100, 0.01, 3),  # radius covers all, low temp
+        (10, 9, 4, 0.1, 6),  # T == ctx+1 boundary
+    ],
+)
+def test_ours_matches_upstream_labelprop(T, ctx, radius, temp, knn):
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.ops.labelprop import (
+        LabelPropConfig,
+        propagate_labels,
+    )
+
+    rng = np.random.default_rng(5)
+    N, C, M = 14, 24, 4
+    emb = rng.standard_normal((T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seed = np.eye(M, dtype=np.float32)[rng.integers(0, M, N)]
+
+    want = run_reference_labelprop(emb, seed, ctx, radius, temp, knn)
+    cfg = LabelPropConfig(cxt_size=ctx, radius=radius, temperature=temp, knn=knn)
+    soft, pred = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla")
+    np.testing.assert_allclose(np.asarray(soft), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pred), want.argmax(-1))
