@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.labelprop import LabelPropConfig, propagate_labels, radius_mask
+from ..ops.labelprop import LabelPropConfig, propagate_labels
 from ..ops.pelt import detect_change_point
 from ..ops.xent_metric import column_diffs, horizontality_xent
 from ..utils.pos_embed import maybe_pos_embed
@@ -158,7 +158,6 @@ class PropagationPipeline:
         the batched xent metric (device) + per-radargram PELT (host).
         """
         from ..ops.labelprop import propagate_labels_batched
-        from ..ops.xent_metric import column_diffs, horizontality_xent
         from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple
 
         seqs = np.asarray(seqs, np.float32)
@@ -200,8 +199,6 @@ class PropagationPipeline:
                 )
             )
             sigs = np.asarray(jax.device_get(xent_fn(embs_d)))[:real]
-            from ..ops.pelt import detect_change_point
-
             change = [detect_change_point(s, pen=self.pelt_pen) for s in sigs]
         else:
             change = [None] * real

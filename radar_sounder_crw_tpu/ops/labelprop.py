@@ -133,6 +133,8 @@ def propagate_labels(
     M = seed_labels.shape[-1]
     h, w = grid_hw if grid_hw is not None else (N, 1)
     assert h * w == N, f"grid {h}x{w} != {N} nodes"
+    if cfg.cxt_size < 1:
+        raise ValueError("cxt_size must be >= 1 (need at least one recent-frame slot)")
     mask = jnp.asarray(radius_mask(h, w, cfg.radius))
 
     K = cfg.cxt_size + 1

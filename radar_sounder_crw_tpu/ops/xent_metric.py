@@ -15,9 +15,12 @@ certainly an unported permute; the intended consecutive-frame metric is the
 default here, and `quirk_channel_shift=True` reproduces the reference's
 literal computation for output parity.
 
-CE direction detail: the reference transposes A before cross_entropy with an
-identity target (src/utils.py:123), so the softmax runs over the *source*
-axis for each target node; xent[n, t] = -log softmax_col(A[t])[n, n].
+CE direction detail: the reference's propagate() transposes A before
+cross_entropy with an identity target (src/utils.py:123), so the softmax
+runs over the *source* axis for each target node — the default here
+(`row_softmax=False`). The reference heatmap script instead feeds the
+UNtransposed matrix (scripts/test/heatmap.py:55), a row-softmax CE;
+`row_softmax=True` reproduces it (scripts/heatmap.py uses it by default).
 """
 
 from __future__ import annotations
@@ -28,8 +31,13 @@ import jax
 import jax.numpy as jnp
 
 
-@partial(jax.jit, static_argnames=("quirk_channel_shift",))
-def horizontality_xent(emb, tau: float = 0.1, quirk_channel_shift: bool = False):
+@partial(jax.jit, static_argnames=("quirk_channel_shift", "row_softmax"))
+def horizontality_xent(
+    emb,
+    tau: float = 0.1,
+    quirk_channel_shift: bool = False,
+    row_softmax: bool = False,
+):
     """emb: (T, N, C) L2-normalized. Returns xent (N, T-1)."""
     T, N, C = emb.shape
     if quirk_channel_shift:
@@ -52,8 +60,8 @@ def horizontality_xent(emb, tau: float = 0.1, quirk_channel_shift: bool = False)
             )
             / tau
         )
-    # CE of column n of A[t] against target n:
-    lse = jax.nn.logsumexp(A, axis=1)  # (T-1, N) — over source axis
+    # CE of column (default) or row of A[t] against target n:
+    lse = jax.nn.logsumexp(A, axis=2 if row_softmax else 1)  # (T-1, N)
     diag = jnp.diagonal(A, axis1=1, axis2=2)  # (T-1, N)
     return (lse - diag).T  # (N, T-1)
 

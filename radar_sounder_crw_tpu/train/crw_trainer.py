@@ -7,11 +7,13 @@ shuffled batches, seed 11 default, encoder checkpoint at the end. TPU-first
 differences: the whole step (encode -> normalize -> affinity -> palindrome
 walk -> grads -> Adam) is one jitted SPMD program; batches are sharded over
 the mesh's data axis (XLA inserts the gradient psum over ICI — the
-DataParallel equivalent, reference: scripts/train.py:45-47); partial final
-batches are padded to a static shape and exactly de-weighted in the loss;
-BatchNorm runs in batch-stat mode with running stats carried in the train
-state, and cross-replica BN stats stay per-replica (matching DataParallel,
-which also keeps BN local to each GPU).
+DataParallel equivalent, reference: scripts/train.py:45-47). Partial final
+batches are padded to the mesh size (never padded on a single device) and
+de-weighted in the loss; note the padding duplicates still enter BatchNorm
+batch statistics on multi-device meshes — a small train-time skew on the
+final batch per epoch, of the same nature as DataParallel's per-GPU BN
+statistics (the loss de-weighting itself is exact, and single-device runs
+match the reference's unpadded partial batches exactly).
 """
 
 from __future__ import annotations

@@ -62,8 +62,19 @@ def run_asha(
     """
     trials = [Trial(config=c) for c in sample_configs(space, num_samples, seed)]
 
-    rung_budget = grace_period
-    while rung_budget <= max_t and any(t.alive for t in trials):
+    # rung ladder: grace, grace*rf, grace*rf^2, ..., capped at (and always
+    # including) max_t — survivors of the last promotion train to max_t,
+    # matching ASHAScheduler's max_t semantics
+    rungs: list[int] = []
+    budget = grace_period
+    while budget < max_t:
+        rungs.append(budget)
+        budget *= reduction_factor
+    rungs.append(max_t)
+
+    for rung_i, rung_budget in enumerate(rungs):
+        if not any(t.alive for t in trials):
+            break
         for i, t in enumerate(trials):
             if not t.alive:
                 continue
@@ -79,6 +90,8 @@ def run_asha(
                 f"[asha] trial {i} rung {rung_budget}: loss={t.last_loss:.5f} "
                 f"config={t.config}"
             )
+        if rung_i == len(rungs) - 1:
+            break  # final rung: no further pruning
         # promote top 1/rf of alive trials
         alive = [t for t in trials if t.alive]
         alive.sort(key=lambda t: t.last_loss)
@@ -86,7 +99,6 @@ def run_asha(
         for t in alive[keep:]:
             t.alive = False
             t.trainer = None  # free device memory
-        rung_budget *= reduction_factor
 
     finished = [t for t in trials if t.losses]
     best = min(finished, key=lambda t: t.last_loss)

@@ -15,11 +15,14 @@ import numpy as np
 
 
 def _nearest_idx(out_size: int, in_size: int) -> np.ndarray:
-    # torch F.interpolate(mode='nearest'): src = floor(dst * in / out),
-    # computed in exact integer arithmetic (float multiply gives off-by-ones)
-    return ((np.arange(out_size, dtype=np.int64) * in_size) // out_size).astype(
-        np.int32
-    )
+    # torch F.interpolate(mode='nearest') computes src = floorf(dst * scale)
+    # with scale = (float)in/out in FLOAT32 arithmetic — float rounding of the
+    # product is part of the semantics (it can round up to an exact integer),
+    # so neither exact-integer nor float64 math reproduces it. Emulate the
+    # float32 computation bit-for-bit (fuzz-verified on 400 random size pairs).
+    scale = np.float32(in_size) / np.float32(out_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float32) * scale).astype(np.int64)
+    return np.minimum(idx, in_size - 1).astype(np.int32)
 
 
 def resize_nearest(x, out_hw: tuple[int, int], axes: tuple[int, int] = (-2, -1)):

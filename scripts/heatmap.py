@@ -26,6 +26,15 @@ def get_args_parser():
     parser.add_argument("--tau", default=0.1, type=float)
     parser.add_argument("--pos_embed", action="store_true")
     parser.add_argument("--allow_untrained", action="store_true")
+    # the reference heatmap script computes the metric with the channel-shift
+    # quirk AND an untransposed (row-softmax) CE (reference: heatmap.py:52-55);
+    # both default ON here for output parity, switchable to the intended form
+    parser.add_argument("--no_quirk", action="store_true",
+                        help="intended consecutive-frame affinity instead of "
+                        "the reference's channel-shifted slicing")
+    parser.add_argument("--col_softmax", action="store_true",
+                        help="CE over the source axis (like propagate()) "
+                        "instead of the reference heatmap's row softmax")
     return parser
 
 
@@ -60,7 +69,14 @@ def main(args):
     seq = window_radargram(rg, patch, overlap)
     T, N, _, _ = seq.shape
     emb = encode_sequence(model, variables, np.asarray(seq), args.pos_embed, False)
-    xent = np.asarray(horizontality_xent(emb, args.tau))
+    xent = np.asarray(
+        horizontality_xent(
+            emb,
+            args.tau,
+            quirk_channel_shift=not args.no_quirk,
+            row_softmax=not args.col_softmax,
+        )
+    )
 
     fig, ax = plt.subplots(4, 1)
     fig.set_size_inches(13, 13)

@@ -62,7 +62,10 @@ def main(args):
         correction_pixel_offset,
         splice_correction,
     )
-    from radar_sounder_crw_tpu.infer.integrate import integrate_flat_mcords3
+    from radar_sounder_crw_tpu.infer.integrate import (
+        integrate_flat_mcords3,
+        reverse_unfold_flip,
+    )
     from radar_sounder_crw_tpu.ops import (
         LabelPropConfig,
         classification_report,
@@ -124,6 +127,13 @@ def main(args):
         )
         for t in range(len(rg_idx_list)):
             pred_px = pipe.prediction_to_pixels(preds[t], (seg.shape[0], rg_len))
+            if not args.no_plots:
+                plot_segmentation(
+                    pred_px,
+                    save=os.path.join(args.output_folder, f"im{t}.png"),
+                    seg=seg[:, rg_len * t : rg_len * t + rg_len],
+                    dataset=args.dataset,
+                )
             seg_list.append(pred_px)
     else:
         for t, idx in enumerate(rg_idx_list):
@@ -195,12 +205,7 @@ def main(args):
     # Reversed pass (reference: test_all.py:132-159)
     if args.use_last:
         print("Reversed step\n")
-        nblocks = seg.shape[1] // rg_len
-        seg_rev = (
-            seg[:, : nblocks * rg_len]
-            .reshape(seg.shape[0], nblocks, rg_len)[:, :, ::-1]
-            .reshape(seg.shape[0], -1)
-        )
+        seg_rev = reverse_unfold_flip(seg, rg_len)
         rev_list = []
         for t, idx in enumerate(rg_idx_list):
             print("Radargram", t)
@@ -209,13 +214,7 @@ def main(args):
             res = pipe(seq, seg_ref, use_last=True)
             pred_px = pipe.prediction_to_pixels(res.prediction, (seg.shape[0], rg_len))
             rev_list.append(pred_px)
-        rev_map = np.concatenate(rev_list, axis=1)
-        nb = rev_map.shape[1] // rg_len
-        rev_map = (
-            rev_map[:, : nb * rg_len]
-            .reshape(rev_map.shape[0], nb, rg_len)[:, :, ::-1]
-            .reshape(rev_map.shape[0], -1)
-        )
+        rev_map = reverse_unfold_flip(np.concatenate(rev_list, axis=1), rg_len)
         if args.dataset in (0, 3):
             mask = rev_map.ravel() == 2
             if args.dataset == 3:

@@ -66,6 +66,27 @@ def test_xent_quirk_mode_matches_reference_literal():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_xent_row_softmax_matches_reference_heatmap_direction():
+    """row_softmax=True = the reference heatmap's UNtransposed CE
+    (reference: scripts/test/heatmap.py:55)."""
+    rng = np.random.default_rng(6)
+    emb = normed(rng, (5, 9, 12))
+    got = np.asarray(
+        horizontality_xent(emb, 0.1, quirk_channel_shift=True, row_softmax=True)
+    )
+    e = torch.tensor(emb)
+    A = torch.einsum("tnc,tmc->tnm", e[:, :, :-1], e[:, :, 1:]) / 0.1
+    I = torch.tensor(ndiag_matrix(9, 1))
+    want = np.stack(
+        [
+            torch.nn.functional.cross_entropy(A[t], I, reduction="none").numpy()
+            for t in range(4)
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_column_diffs():
     x = np.arange(12, dtype=np.float32).reshape(3, 4)
     got = np.asarray(column_diffs(x))

@@ -24,17 +24,20 @@ def test_asha_promotes_better_configs():
     """Trials whose 'loss' is their config value: ASHA must pick the min and
     early-stop the rest."""
     space = {"quality": [1.0, 2.0, 3.0, 4.0]}
-    epochs_run = {}
+    trainers = []
 
     class FakeTrainer:
         def __init__(self, q):
             self.q = q
+            self.epochs = 0
 
     def make_trainer(config):
-        return FakeTrainer(config["quality"])
+        t = FakeTrainer(config["quality"])
+        trainers.append(t)
+        return t
 
     def train_epoch(trainer):
-        epochs_run[trainer.q] = epochs_run.get(trainer.q, 0) + 1
+        trainer.epochs += 1
         return trainer.q
 
     best = run_asha(
@@ -42,9 +45,11 @@ def test_asha_promotes_better_configs():
         num_samples=8, max_t=4, grace_period=1, reduction_factor=2,
         seed=0, log=lambda s: None,
     )
-    assert best.config["quality"] == min(epochs_run)
-    # the best config must have run more epochs than the worst
-    assert epochs_run[min(epochs_run)] > epochs_run[max(epochs_run)]
+    assert best.config["quality"] == min(t.q for t in trainers)
+    # survivors must train all the way to max_t; losers are stopped early
+    assert best.epochs_done == 4
+    assert max(t.epochs for t in trainers) == 4
+    assert min(t.epochs for t in trainers) < 4
 
 
 def test_unet_trains_and_predicts():
