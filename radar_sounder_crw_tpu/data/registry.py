@@ -156,6 +156,12 @@ class SubsetWindows:
     def __getitem__(self, i: int) -> np.ndarray:
         return self.dataset[self.indices[i]]
 
+    def get_smaller_item(self, i: int, small_length: int) -> np.ndarray:
+        """Delegates to the parent dataset (the reference's torch Subset has
+        no such method, so its correction step silently fails with
+        dataset_full=False — fixed here)."""
+        return self.dataset.get_smaller_item(self.indices[i], small_length)
+
     def batch(self, idxs, length=None) -> np.ndarray:
         return self.dataset.batch([self.indices[i] for i in idxs], length)
 
