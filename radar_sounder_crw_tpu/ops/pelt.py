@@ -7,11 +7,18 @@ scripts/test/heatmap.py:105-106). ruptures is not a baked dependency of this
 environment, so the algorithm is implemented here directly:
 
   * Gram matrix G = exp(-gamma * ||x_i - x_j||^2), gamma = 1 / median of the
-    non-zero pairwise squared distances (the median heuristic ruptures uses).
+    pairwise (off-diagonal) squared distances — the median heuristic of
+    ruptures' CostRbf — with the scaled distances clipped to [1e-2, 1e2]
+    before exponentiation exactly as ruptures does (costs/costrbf.py's
+    np.clip on the condensed pdist; the diagonal stays exp(0)=1).
   * Segment cost c(a, b) = (b - a) - (1/(b-a)) * sum_{i,j in [a,b)} G_ij
     (within-segment kernel homogeneity).
   * PELT dynamic program over candidate breakpoints on a `jump` grid with
-    `min_size` spacing and cost-based pruning.
+    `min_size` spacing and cost-based pruning. The pruning is the textbook
+    K=0 rule (drop s when F[s] + c(s,t) > F[t]); kernel costs satisfy the
+    concatenation inequality c(a,c) >= c(a,b) + c(b,c), so pruning never
+    discards an optimal predecessor — tests/test_analysis.py proves the
+    returned partition optimal against exhaustive enumeration.
 
 This sits on the host on purpose: it consumes a tiny (T-2,) signal mid-
 pipeline; the device pipeline returns xent, the host picks the change point,
@@ -32,7 +39,26 @@ def rbf_gram(signal: np.ndarray) -> np.ndarray:
     off = sq[np.triu_indices_from(sq, k=1)]
     med = np.median(off) if off.size else 0.0
     gamma = 1.0 / med if med > 0 else 1.0
-    return np.exp(-gamma * sq)
+    K = gamma * sq
+    np.clip(K, 1e-2, 1e2, K)  # ruptures costs/costrbf.py clips the condensed
+    np.fill_diagonal(K, 0.0)  # ... distances only; the diagonal stays exp(0)
+    return np.exp(-K)
+
+
+def rbf_segment_cost(signal: np.ndarray):
+    """The RBF segment-cost function c(a, b) over half-open [a, b) used by
+    pelt_rbf, with O(1) evaluation via Gram prefix sums. Exposed so the
+    optimality tests can score partitions with the exact same cost."""
+    G = rbf_gram(np.asarray(signal, dtype=np.float64))
+    n = len(G)
+    P = np.zeros((n + 1, n + 1))
+    P[1:, 1:] = G.cumsum(0).cumsum(1)
+
+    def cost(a: int, b: int) -> float:
+        block = P[b, b] - P[a, b] - P[b, a] + P[a, a]
+        return (b - a) - block / (b - a)
+
+    return cost
 
 
 def pelt_rbf(
@@ -49,14 +75,7 @@ def pelt_rbf(
     n = len(x)
     if n < 2 * min_size:
         return [n]
-    G = rbf_gram(x)
-    # prefix sums for O(1) segment cost: S[a,b) block sum
-    P = np.zeros((n + 1, n + 1))
-    P[1:, 1:] = G.cumsum(0).cumsum(1)
-
-    def cost(a: int, b: int) -> float:
-        block = P[b, b] - P[a, b] - P[b, a] + P[a, a]
-        return (b - a) - block / (b - a)
+    cost = rbf_segment_cost(x)
 
     # admissible breakpoint grid (multiples of jump, spaced by min_size)
     ends = [k for k in range(0, n, jump) if k >= min_size] + [n]
