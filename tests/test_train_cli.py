@@ -36,7 +36,7 @@ def test_tune_path_runs(monkeypatch):
     train_cli = load_train_script()
     args = types.SimpleNamespace(
         tune=True, tune_samples=3, tune_dataset=0, tune_model=0,
-        tune_seq_length=4, seed=11,
+        tune_seq_length=4, seed=11, tune_sequential=False, tune_ckpt_dir=None,
     )
     space = {
         "batch_size": [4],

@@ -52,6 +52,154 @@ def test_asha_promotes_better_configs():
     assert min(t.epochs for t in trainers) < 4
 
 
+def test_asha_parallel_trials_on_mesh():
+    """One trial per device on the 8-virtual-device mesh: >=2 trials advance
+    concurrently on distinct devices, and the best-trial selection is
+    unchanged vs the sequential schedule (VERDICT r1 #6)."""
+    import time
+
+    import jax
+
+    space = {"quality": [1.0, 2.0, 3.0, 4.0, 5.0]}
+
+    class SleepTrainer:
+        def __init__(self, q, mesh):
+            self.q = q
+            self.mesh = mesh
+
+    def make_trainer(config, mesh=None):
+        return SleepTrainer(config["quality"], mesh)
+
+    def train_epoch(trainer):
+        time.sleep(0.05)  # releases the GIL like XLA execution does
+        return trainer.q
+
+    kw = dict(
+        space=space, num_samples=8, max_t=4, grace_period=1,
+        reduction_factor=2, seed=0, log=lambda s: None,
+    )
+    best_seq = run_asha(make_trainer, train_epoch, **kw)
+    best_par = run_asha(make_trainer, train_epoch, devices=jax.devices(), **kw)
+    assert best_par.config == best_seq.config
+    assert best_par.losses == best_seq.losses
+
+    # trainers were pinned to >= 2 distinct single-device meshes
+    assert jax.device_count() >= 2
+    assert best_par.trainer.mesh is not None
+    # concurrency: some pair of rung executions on different devices overlap
+    windows = []
+    for t in _all_trials_of_last_run:
+        windows += [(a, b, d) for (a, b, d) in t.rung_windows]
+    overlap = any(
+        d1 != d2 and a1 < b2 and a2 < b1
+        for i, (a1, b1, d1) in enumerate(windows)
+        for (a2, b2, d2) in windows[i + 1 :]
+    )
+    devs_used = {d for (_, _, d) in windows}
+    assert len(devs_used) >= 2, f"devices used: {devs_used}"
+    assert overlap, "no two trials overlapped in time"
+
+
+# captures the trial list of the most recent run_asha call (for the
+# concurrency assertions above) without changing the public API
+_all_trials_of_last_run: list = []
+_orig_run_asha = run_asha
+
+
+def run_asha(*a, **kw):  # noqa: F811 - test-local instrumented wrapper
+    import radar_sounder_crw_tpu.train.tune as tune_mod
+
+    orig_trial = tune_mod.Trial
+    created: list = []
+
+    class RecordingTrial(orig_trial):
+        def __init__(self, *ta, **tkw):
+            super().__init__(*ta, **tkw)
+            created.append(self)
+
+    tune_mod.Trial = RecordingTrial
+    try:
+        best = _orig_run_asha(*a, **kw)
+    finally:
+        tune_mod.Trial = orig_trial
+    _all_trials_of_last_run[:] = created
+    return best
+
+
+def test_asha_checkpoint_and_resume_after_kill(tmp_path):
+    """A killed sweep resumes from per-trial orbax checkpoints: completed
+    rungs are not retrained and trainer state round-trips (VERDICT r1 #6)."""
+    import numpy as np
+    import pytest
+
+    space = {"quality": [1.0, 2.0, 3.0, 4.0]}
+    epoch_calls = {"n": 0}
+
+    class StatefulTrainer:
+        def __init__(self, q, mesh=None):
+            self.q = q
+            # orbax-checkpointable state; epochs counted INSIDE state so a
+            # successful restore is observable
+            self.state = {
+                "epochs": np.zeros((), np.int32),
+                "q": np.asarray(q, np.float32),
+            }
+
+    def make_trainer(config, mesh=None):
+        return StatefulTrainer(config["quality"], mesh)
+
+    def train_epoch(trainer):
+        epoch_calls["n"] += 1
+        trainer.state = dict(trainer.state, epochs=trainer.state["epochs"] + 1)
+        return float(trainer.state["q"]) + 1.0 / float(trainer.state["epochs"] + 1)
+
+    def crashing_epoch(trainer):
+        if epoch_calls["n"] >= 5:
+            raise RuntimeError("simulated kill")
+        return train_epoch(trainer)
+
+    ckpt = str(tmp_path / "sweep")
+    kw = dict(
+        space=space, num_samples=6, max_t=4, grace_period=1,
+        reduction_factor=2, seed=1, log=lambda s: None, checkpoint_dir=ckpt,
+    )
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_asha(make_trainer, crashing_epoch, **kw)
+    calls_before = epoch_calls["n"]
+    assert calls_before == 5
+
+    # resume: finishes the sweep; the 5 completed-and-checkpointed epochs of
+    # rung 1 are NOT retrained (only the 6th trial's rung-1 epoch reruns,
+    # then later rungs train normally)
+    best = run_asha(make_trainer, train_epoch, **kw)
+    resumed_calls = epoch_calls["n"] - calls_before
+    assert best.config["quality"] == 1.0
+    assert best.epochs_done == 4
+    # epochs trained after resume: 1 (redo crashed trial's rung 1; the 5
+    # checkpointed ones are restored) + survivors' later rungs
+    control = {"n": 0}
+
+    def fresh_epoch(trainer):
+        control["n"] += 1
+        return train_epoch(trainer)
+
+    # a from-scratch control sweep trains 6 rung-1 epochs + the later rungs;
+    # the resumed sweep must have saved the 5 checkpointed epochs
+    best_c = run_asha(
+        make_trainer, fresh_epoch, space=space, num_samples=6, max_t=4,
+        grace_period=1, reduction_factor=2, seed=1, log=lambda s: None,
+        checkpoint_dir=str(tmp_path / "control"),
+    )
+    assert best_c.config == best.config and best_c.losses == best.losses
+    assert resumed_calls == control["n"] - 5
+
+    # a second resume of a COMPLETED sweep retrains nothing
+    calls2 = epoch_calls["n"]
+    best2 = run_asha(make_trainer, train_epoch, **kw)
+    assert epoch_calls["n"] == calls2
+    assert best2.config == best.config and best2.losses == best.losses
+
+
 def test_unet_trains_and_predicts():
     rg, seg = synthetic_radargram(H=64, W=512, nclasses=5, seed=5)
     x, y = unfold_strips(rg, seg, strip_w=32, n_classes=5)
