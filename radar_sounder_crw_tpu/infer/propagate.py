@@ -146,11 +146,13 @@ class PropagationPipeline:
     def __call__(
         self, seq, seg_ref, use_last: bool = False, detect_change: bool = True
     ) -> PropagateResult:
-        """seq: (T, N, H, W) host array; seg_ref: 2-D seed segmentation patch
-        covering the first frame's pixels (last frame's if use_last)."""
-        seq = np.asarray(seq, np.float32)
+        """seq: (T, N, H, W) host array OR pre-staged device array (staying
+        device-resident avoids a host->device upload per call); seg_ref: 2-D
+        seed segmentation patch covering the first frame's pixels (last
+        frame's if use_last)."""
+        seq = jnp.asarray(seq, jnp.float32)  # no-op for device-resident input
         if use_last:  # reference: src/utils.py:108
-            seq = seq[::-1].copy()
+            seq = seq[::-1]
         T, N, _, _ = seq.shape
 
         emb = self.encode(seq)

@@ -108,6 +108,10 @@ class ResNetCore(nn.Module):
             name="bn1",
         )(x)
         x = nn.relu(x)
+        # NOTE: a max-tree-of-strided-slices pool variant was measured at
+        # 31.1 ms/step vs 18.4 ms for reduce_window on the bench config —
+        # select_and_scatter's 0.78 ms backward is the cheaper option
+        # (benchmarks/stem_experiment.py, r2 MFU study); keep nn.max_pool.
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         planes = self.width

@@ -7,13 +7,15 @@ shuffled batches, seed 11 default, encoder checkpoint at the end. TPU-first
 differences: the whole step (encode -> normalize -> affinity -> palindrome
 walk -> grads -> Adam) is one jitted SPMD program; batches are sharded over
 the mesh's data axis (XLA inserts the gradient psum over ICI — the
-DataParallel equivalent, reference: scripts/train.py:45-47). Partial final
-batches are padded to the mesh size (never padded on a single device) and
-de-weighted in the loss; note the padding duplicates still enter BatchNorm
-batch statistics on multi-device meshes — a small train-time skew on the
-final batch per epoch, of the same nature as DataParallel's per-GPU BN
-statistics (the loss de-weighting itself is exact, and single-device runs
-match the reference's unpadded partial batches exactly).
+DataParallel equivalent, reference: scripts/train.py:45-47).
+
+Partial final batches: a batch whose size does not divide the mesh runs
+REPLICATED (every device computes the whole small batch redundantly, once
+per epoch) instead of padded — so BatchNorm batch statistics and the loss
+are exactly those of the reference's unpadded partial batch, and
+multi-device training matches single-device bit-for-bit up to float
+reassociation (round-1 padded the batch with duplicates, which skewed BN
+stats on the final batch; tested in tests/test_train.py).
 """
 
 from __future__ import annotations
@@ -31,12 +33,9 @@ from flax import struct
 
 from ..models import create_model, param_count
 from ..ops import crw_loss
-from ..parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    pad_to_multiple,
-    replicated,
-)
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS, batch_sharding, make_mesh, replicated
 from ..utils.pos_embed import maybe_pos_embed
 
 
@@ -56,6 +55,11 @@ class CRWTrainConfig:
     seed: int = 11
     dtype: Any = jnp.float32  # encoder compute dtype; bfloat16 for MXU speed
     remat: bool = False  # rematerialize encoder activations (large T*N)
+    steps_per_dispatch: int = 1  # fuse k optimizer steps into one device
+    # program (lax.scan) — amortizes per-dispatch host latency (v5e: 18.9 ->
+    # 15.2 ms/step at the bench config); math is identical to k sequential
+    # steps (tested). TPU-targeted: XLA:CPU compiles the scanned conv-grad
+    # body pathologically slowly, so leave at 1 for CPU runs.
 
 
 class TrainState(struct.PyTreeNode):
@@ -139,6 +143,30 @@ class CRWTrainer:
             out_shardings=(repl, None),
             donate_argnums=(0,),
         )
+        # partial-batch step: batch replicated instead of padded (exact BN)
+        self._step_repl = jax.jit(
+            self._step_raw,
+            in_shardings=(repl, repl, repl),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
+
+        # k-step fused program: scan of the SAME step function — one host
+        # dispatch per k optimizer steps (the per-dispatch latency of a
+        # remote/tunneled host otherwise costs ~20% of the step)
+        def multi_step(state, seqs, weights):
+            def body(st, xw):
+                return self._step_raw(st, xw[0], xw[1])
+
+            return jax.lax.scan(body, state, (seqs, weights))
+
+        mbsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        self._multi_step = jax.jit(
+            multi_step,
+            in_shardings=(repl, mbsh, mbsh),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
         self.state: TrainState | None = None
 
     # -- lifecycle -----------------------------------------------------------
@@ -162,21 +190,28 @@ class CRWTrainer:
         return self.state
 
     def _stage(self, batch: np.ndarray):
-        """Pad a host batch to the mesh and start its async device transfer."""
+        """Start a host batch's async device transfer: sharded over the data
+        axis when the size divides the mesh, replicated otherwise (the
+        partial final batch — no padding, so BN statistics stay exact)."""
+        batch = np.asarray(batch, np.float32)
         n_dev = self.mesh.devices.size
-        padded, real = pad_to_multiple(np.asarray(batch, np.float32), n_dev)
-        weights = np.zeros(padded.shape[0], np.float32)
-        weights[:real] = 1.0
-        bsh = batch_sharding(self.mesh)
+        weights = np.ones(batch.shape[0], np.float32)
+        if batch.shape[0] % n_dev == 0:
+            sh = batch_sharding(self.mesh)
+            step = self._step
+        else:
+            sh = replicated(self.mesh)
+            step = self._step_repl
         return (
-            jax.device_put(jnp.asarray(padded), bsh),
-            jax.device_put(jnp.asarray(weights), bsh),
+            jax.device_put(jnp.asarray(batch), sh),
+            jax.device_put(jnp.asarray(weights), sh),
+            step,
         )
 
     def train_step(self, batch: np.ndarray) -> float:
-        """One optimizer step on a host batch (any size; padded to the mesh)."""
-        seq, weights = self._stage(batch)
-        self.state, loss = self._step(self.state, seq, weights)
+        """One optimizer step on a host batch (any size)."""
+        seq, weights, step = self._stage(batch)
+        self.state, loss = step(self.state, seq, weights)
         return loss
 
     def fit(self, dataset, log: Callable[[str], None] = print):
@@ -199,13 +234,38 @@ class CRWTrainer:
                 return np.stack([dataset[int(i)] for i in idxs])
 
             losses = []
-            staged = self._stage(host_batch(0)) if starts else None
-            for si in range(len(starts)):
-                seq, weights = staged
-                if si + 1 < len(starts):
-                    staged = self._stage(host_batch(si + 1))  # prefetch
-                self.state, loss = self._step(self.state, seq, weights)
-                losses.append(loss)
+            k = max(1, int(cfg.steps_per_dispatch))
+            n_dev = self.mesh.devices.size
+            if k > 1 and cfg.batch_size % n_dev == 0:
+                mbsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                si = 0
+                while si < len(starts):
+                    kk = min(k, len(starts) - si)
+                    chunk = [host_batch(si + j) for j in range(kk)]
+                    if kk == k and all(len(b) == cfg.batch_size for b in chunk):
+                        seqs = jax.device_put(
+                            jnp.asarray(np.stack(chunk)), mbsh
+                        )
+                        w = jax.device_put(
+                            jnp.ones((k, cfg.batch_size), np.float32), mbsh
+                        )
+                        self.state, ls = self._multi_step(self.state, seqs, w)
+                        losses.extend([ls[j] for j in range(k)])
+                        si += k
+                    else:  # tail: plain per-batch steps
+                        for b in chunk:
+                            seq, weights, step = self._stage(b)
+                            self.state, loss = step(self.state, seq, weights)
+                            losses.append(loss)
+                        si += kk
+            else:
+                staged = self._stage(host_batch(0)) if starts else None
+                for si in range(len(starts)):
+                    seq, weights, step = staged
+                    if si + 1 < len(starts):
+                        staged = self._stage(host_batch(si + 1))  # prefetch
+                    self.state, loss = step(self.state, seq, weights)
+                    losses.append(loss)
             epoch_loss = float(np.mean(jax.device_get(losses)))
             history.append(epoch_loss)
             log(

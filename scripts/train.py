@@ -43,6 +43,9 @@ def get_args_parser():
     # TPU-native additions
     parser.add_argument("--bf16", action="store_true", help="bfloat16 encoder compute")
     parser.add_argument("--remat", action="store_true", help="rematerialize encoder activations")
+    parser.add_argument("--steps_per_dispatch", default=1, type=int,
+                        help="fuse k optimizer steps into one device program "
+                        "(TPU: +24%% throughput; avoid on CPU — slow compile)")
     parser.add_argument("--seed", default=11, type=int)
     parser.add_argument("--ckpt_dir", default=None, help="orbax checkpoint dir (enables resume)")
     parser.add_argument("--resume", action="store_true")
@@ -77,6 +80,7 @@ def build(args):
         seed=args.seed,
         dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         remat=args.remat,
+        steps_per_dispatch=args.steps_per_dispatch,
     )
     dataset = create_dataset(
         id=args.dataset,
