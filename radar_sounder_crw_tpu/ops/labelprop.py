@@ -99,6 +99,59 @@ def _prop_step(mask, temperature, knn, carry, q):
     return (feats, labels, valid, ptr + 1), pred
 
 
+def _prop_step_chunked(mask, temperature, knn, qb, carry, q):
+    """Query-chunked variant of _prop_step: the TPU-native slot of the
+    reference's `mem_efficient_batched_affinity` (src/imported/
+    maskedatt.py:177-207), which double-minibatches the affinity so the
+    full (context*nodes, nodes) matrix never materializes.
+
+    Here the query-node axis is processed in blocks of `qb` through a
+    sequential `lax.map`, bounding peak memory to O(K*N*qb) per block
+    instead of O(K*N*N) — the regime that matters for general (h, w)
+    patch grids where N = h*w is large. Unlike the reference's
+    mem-efficient variant (which silently drops the context-window
+    trimming its plain `batched_affinity` applies, maskedatt.py:166-167
+    vs :177-207), chunking changes memory use only: results match
+    _prop_step (bit-identical on TPU; XLA:CPU matmul blocking is
+    shape-dependent, so CPU sees ulp-level reassociation; tested)."""
+    feats, labels, valid, ptr = carry
+    K, N, C = feats.shape
+    n_pad = -(-N // qb) * qb
+    q_pad = jnp.pad(q, ((0, n_pad - N), (0, 0)))
+    # padded query columns: NEG_MASKED everywhere is fine — their outputs
+    # are sliced away below
+    mask_pad = jnp.pad(mask, ((0, 0), (0, n_pad - N)), constant_values=NEG_MASKED)
+    slot_bias = ((1.0 - valid) * NEG_INVALID)[:, None, None]
+    labels_flat = labels.reshape(K * N, -1)
+
+    def one_chunk(i):
+        qs = jax.lax.dynamic_slice(q_pad, (i * qb, 0), (qb, C))
+        mc = jax.lax.dynamic_slice(mask_pad, (0, i * qb), (N, qb))
+        aff = jnp.einsum(
+            "knc,mc->knm", feats, qs,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        aff = (aff + mc[None, :, :] + slot_bias) / temperature
+        flat = aff.reshape(K * N, qb).T  # (qb, K*N candidates)
+        vals, idx = jax.lax.top_k(flat, knn)
+        w = jax.nn.softmax(vals, axis=-1)
+        return jnp.einsum(
+            "nk,nkm->nm", w, labels_flat[idx],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    preds = jax.lax.map(one_chunk, jnp.arange(n_pad // qb))
+    pred = preds.reshape(n_pad, -1)[:N]
+
+    slot = 1 + jnp.mod(ptr, K - 1)
+    feats = feats.at[slot].set(q)
+    labels = labels.at[slot].set(pred)
+    valid = valid.at[slot].set(1.0)
+    return (feats, labels, valid, ptr + 1), pred
+
+
 def _prop_step_fused(mask, temperature, knn, interpret, carry, q):
     """Fused-kernel variant of _prop_step (see labelprop_pallas.py)."""
     from .labelprop_pallas import prop_step_pallas
@@ -117,9 +170,10 @@ def _prop_step_fused(mask, temperature, knn, interpret, carry, q):
     return (feats, labels, valid, ptr + 1), pred
 
 
-@partial(jax.jit, static_argnames=("cfg", "grid_hw", "kernel"))
+@partial(jax.jit, static_argnames=("cfg", "grid_hw", "kernel", "query_block"))
 def propagate_labels(
-    emb, seed_labels, cfg: LabelPropConfig, grid_hw=None, kernel: str = "auto"
+    emb, seed_labels, cfg: LabelPropConfig, grid_hw=None, kernel: str = "auto",
+    query_block: int | None = None,
 ):
     """Propagate seed labels through a frame sequence.
 
@@ -133,6 +187,12 @@ def propagate_labels(
         context-slot blocks so any config the XLA path serves runs fused),
         'pallas_interpret' (kernel in interpreter mode, for CPU tests), or
         'auto' (fused kernel on TPU; XLA only if no block tiling fits VMEM).
+      query_block: when set (XLA path only), process query nodes in
+        sequential blocks of this size, bounding peak memory to O(K*N*qb)
+        per frame instead of materializing the (K*N, N) affinity — the
+        memory-bounded path for large general (h, w) grids (reference
+        capability: mem_efficient_batched_affinity, maskedatt.py:177-207).
+        Results are identical to the unchunked step.
 
     Returns:
       soft: (T, N, M) soft labels per frame (frame 0 = seed as given).
@@ -158,12 +218,24 @@ def propagate_labels(
         on_tpu = jax.default_backend() == "tpu"
         kernel = (
             "pallas"
-            if (on_tpu and plan_blocks(K, N, C, M, knn) is not None)
+            if (query_block is None and on_tpu
+                and plan_blocks(K, N, C, M, knn) is not None)
             else "xla"
         )
     if kernel == "xla":
-        step = partial(_prop_step, mask, cfg.temperature, knn)
+        if query_block is not None:
+            step = partial(
+                _prop_step_chunked, mask, cfg.temperature, knn,
+                max(1, min(int(query_block), N)),
+            )
+        else:
+            step = partial(_prop_step, mask, cfg.temperature, knn)
     elif kernel in ("pallas", "pallas_interpret"):
+        if query_block is not None:
+            raise ValueError(
+                "query_block applies to the XLA path only (the fused kernel "
+                "bounds memory by tiling the context-slot axis instead)"
+            )
         step = partial(
             _prop_step_fused,
             mask,
@@ -180,9 +252,12 @@ def propagate_labels(
     return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
 
 
-propagate_labels_batched = jax.vmap(
-    propagate_labels, in_axes=(0, 0, None, None, None), out_axes=0
-)
-propagate_labels_batched.__doc__ = """vmap of propagate_labels over a leading
-radargram batch axis — the scale-out path for full-survey inference (shard
-the batch axis over the mesh; each scan stays per-device serial)."""
+def propagate_labels_batched(
+    emb, seed_labels, cfg, grid_hw=None, kernel="auto", query_block=None
+):
+    """vmap of propagate_labels over a leading radargram batch axis — the
+    scale-out path for full-survey inference (shard the batch axis over the
+    mesh; each scan stays per-device serial)."""
+    return jax.vmap(
+        lambda e, s: propagate_labels(e, s, cfg, grid_hw, kernel, query_block)
+    )(emb, seed_labels)

@@ -126,6 +126,38 @@ def test_knn_exceeding_candidates_is_clamped():
     np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("qb", [4, 7, 64])
+def test_query_chunked_matches_plain(qb):
+    """The memory-bounded query-chunked XLA path (reference capability:
+    mem_efficient_batched_affinity, maskedatt.py:177-207) matches the
+    unchunked step on a general (h, w) patch grid — including block sizes
+    that do not divide N and blocks larger than N. (Bit-identical on TPU;
+    XLA:CPU matmul blocking depends on shape, so CPU allows ulp-level
+    reassociation differences.)"""
+    T, h, w, C, M = 7, 6, 5, 16, 4
+    N = h * w
+    emb = random_emb(T, N, C, seed=5)
+    seed = onehot_seed(N, M, seed=5)
+    cfg = LabelPropConfig(cxt_size=3, radius=2.5, temperature=0.08, knn=5)
+    s0, p0 = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg, (h, w), "xla")
+    s1, p1 = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, (h, w), "xla", qb
+    )
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    # auto with query_block set must resolve to the chunked XLA path,
+    # and the fused kernel must reject it explicitly
+    s2, _ = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, (h, w), "auto", qb
+    )
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6, atol=0)
+    with pytest.raises(ValueError, match="query_block"):
+        propagate_labels(
+            jnp.asarray(emb), jnp.asarray(seed), cfg, (h, w),
+            "pallas_interpret", qb
+        )
+
+
 def test_radius_mask_column_and_grid():
     m = radius_mask(6, 1, 2)
     want = np.where(
