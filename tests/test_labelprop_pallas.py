@@ -96,6 +96,25 @@ def test_single_step_mc3_scale(K, N, C, M, knn, budget):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)
 
 
+def test_default_vmem_budget_is_device_aware(monkeypatch):
+    """Planning budget scales with device generation: the conservative
+    14 MB floor off-TPU/unknown, 28 MB on v5e+ (measured faster plans —
+    see default_vmem_budget docstring)."""
+    from radar_sounder_crw_tpu.ops import labelprop_pallas as lpp
+
+    assert lpp.default_vmem_budget() == lpp.DEFAULT_VMEM_BUDGET  # CPU run
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+
+    monkeypatch.setattr(lpp.jax, "devices", lambda: [FakeDev()])
+    assert lpp.default_vmem_budget() == 28 * 2**20
+    # the larger budget turns MC3 into a coarser (fewer-block) plan
+    kb14 = lpp.plan_blocks(101, 190, 128, 6, 20, 14 * 2**20)
+    kb28 = lpp.plan_blocks(101, 190, 128, 6, 20, 28 * 2**20)
+    assert kb28 > kb14
+
+
 def test_plan_blocks_decisions():
     # the MC3 flagship config now plans a multi-block fused run
     kb = plan_blocks(101, 190, 128, 6, 20)
