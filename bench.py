@@ -5,7 +5,8 @@ Emits ONE JSON line PER metric {"metric", "value", "unit", "vs_baseline", ...}:
      palindrome walk + Adam) at the reference trainer's default config
      (ResNet-10, batch 8, T=20, 16x16 — reference scripts/train.py:17-37),
      bfloat16 encoder compute, plus an `mfu` field from the compiled step's
-     XLA cost analysis (v5e bf16 peak).
+     XLA cost analysis (bf16 peak for the detected TPU generation; omitted
+     when the device kind is unrecognized).
   2. propagation_latency_ms — seed -> full-radargram segmentation through
      PropagationPipeline (encode + xent + seed + 100-frame fused propagation)
      at the reference test_all defaults (T=100, N=113, cxt 100, knn 20;
@@ -29,7 +30,30 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-V5E_BF16_PEAK_FLOPS = 197e12
+# bf16 peak FLOP/s by TPU generation (public spec sheets); MFU is emitted
+# only when the local device kind is recognized — a wrong denominator is
+# worse than none.
+TPU_BF16_PEAK_FLOPS = {
+    "tpu v4": 275e12,
+    "tpu v5 lite": 197e12,  # v5e
+    "tpu v5e": 197e12,
+    "tpu v5": 459e12,  # v5p
+    "tpu v6 lite": 918e12,  # v6e / Trillium
+    "tpu v6e": 918e12,
+}
+
+
+def bf16_peak_flops() -> float | None:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    kind = jax.devices()[0].device_kind.lower()
+    # longest-prefix match so "tpu v5 lite" does not hit the "tpu v5" (v5p) row
+    for name in sorted(TPU_BF16_PEAK_FLOPS, key=len, reverse=True):
+        if kind.startswith(name):
+            return TPU_BF16_PEAK_FLOPS[name]
+    return None
 
 
 def read_anchor(*keys: str):
@@ -122,9 +146,8 @@ def bench_train():
         f"item shape {ds[0].shape}", file=sys.stderr,
     )
 
-    mfu = None
-    if step_flops and jax.default_backend() == "tpu":
-        mfu = step_flops / dt / V5E_BF16_PEAK_FLOPS
+    peak = bf16_peak_flops()
+    mfu = step_flops / dt / peak if (step_flops and peak) else None
 
     anchor, kind = read_anchor(
         "reference_train_steps_per_sec", "reference_cpu_torch_train_steps_per_sec"
@@ -157,11 +180,7 @@ def bench_train():
         state, ls = trainer._multi_step(state, seqs, wk)
     _ = float(jax.device_get(ls[-1]))
     dtk = (time.perf_counter() - t0) / max(2, iters // 4) / K
-    mfu_k = (
-        step_flops / dtk / V5E_BF16_PEAK_FLOPS
-        if step_flops and jax.default_backend() == "tpu"
-        else None
-    )
+    mfu_k = step_flops / dtk / peak if (step_flops and peak) else None
     emit(
         "crw_train_steps_per_sec_fused_dispatch", 1.0 / dtk,
         f"steps/s (same config, {K} steps per device dispatch)",

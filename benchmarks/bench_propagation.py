@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from radar_sounder_crw_tpu.ops.labelprop import LabelPropConfig, propagate_labels
-from radar_sounder_crw_tpu.ops.labelprop_pallas import fits_vmem
+from radar_sounder_crw_tpu.ops.labelprop_pallas import plan_blocks
 
 
 def timed(fn, warmup=1, iters=5):
@@ -50,7 +50,10 @@ def main():
     e0 = emb()
 
     kernels = ["xla"]
-    if jax.default_backend() == "tpu" and fits_vmem(cfg.cxt_size + 1, N, C, M):
+    if (
+        jax.default_backend() == "tpu"
+        and plan_blocks(cfg.cxt_size + 1, N, C, M, cfg.knn) is not None
+    ):
         kernels.append("pallas")
     for kernel in kernels:
         dt = timed(lambda: propagate_labels(e0, seed, cfg, None, kernel)[1])

@@ -152,7 +152,7 @@ def _prop_step_chunked(mask, temperature, knn, qb, carry, q):
     return (feats, labels, valid, ptr + 1), pred
 
 
-def _prop_step_fused(mask, temperature, knn, interpret, carry, q):
+def _prop_step_fused(mask, temperature, knn, interpret, vmem_budget, carry, q):
     """Fused-kernel variant of _prop_step (see labelprop_pallas.py)."""
     from .labelprop_pallas import prop_step_pallas
 
@@ -161,7 +161,7 @@ def _prop_step_fused(mask, temperature, knn, interpret, carry, q):
     slot_bias = (1.0 - valid) * NEG_INVALID
     pred = prop_step_pallas(
         feats, q, mask, labels, slot_bias, 1.0 / temperature, knn,
-        interpret=interpret,
+        interpret=interpret, vmem_budget=vmem_budget,
     )
     slot = 1 + jnp.mod(ptr, K - 1)
     feats = feats.at[slot].set(q)
@@ -170,10 +170,13 @@ def _prop_step_fused(mask, temperature, knn, interpret, carry, q):
     return (feats, labels, valid, ptr + 1), pred
 
 
-@partial(jax.jit, static_argnames=("cfg", "grid_hw", "kernel", "query_block"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_hw", "kernel", "query_block", "vmem_budget"),
+)
 def propagate_labels(
     emb, seed_labels, cfg: LabelPropConfig, grid_hw=None, kernel: str = "auto",
-    query_block: int | None = None,
+    query_block: int | None = None, vmem_budget: int | None = None,
 ):
     """Propagate seed labels through a frame sequence.
 
@@ -193,6 +196,9 @@ def propagate_labels(
         memory-bounded path for large general (h, w) grids (reference
         capability: mem_efficient_batched_affinity, maskedatt.py:177-207).
         Results are identical to the unchunked step.
+      vmem_budget: planning budget (bytes) for the fused kernel's context
+        tiling; default = device-aware `default_vmem_budget()`. Exposed for
+        tuning and for forcing multi-block plans in tests.
 
     Returns:
       soft: (T, N, M) soft labels per frame (frame 0 = seed as given).
@@ -219,7 +225,7 @@ def propagate_labels(
         kernel = (
             "pallas"
             if (query_block is None and on_tpu
-                and plan_blocks(K, N, C, M, knn) is not None)
+                and plan_blocks(K, N, C, M, knn, vmem_budget) is not None)
             else "xla"
         )
     if kernel == "xla":
@@ -242,6 +248,7 @@ def propagate_labels(
             cfg.temperature,
             knn,
             kernel == "pallas_interpret",
+            vmem_budget,
         )
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
@@ -253,11 +260,14 @@ def propagate_labels(
 
 
 def propagate_labels_batched(
-    emb, seed_labels, cfg, grid_hw=None, kernel="auto", query_block=None
+    emb, seed_labels, cfg, grid_hw=None, kernel="auto", query_block=None,
+    vmem_budget=None,
 ):
     """vmap of propagate_labels over a leading radargram batch axis — the
     scale-out path for full-survey inference (shard the batch axis over the
     mesh; each scan stays per-device serial)."""
     return jax.vmap(
-        lambda e, s: propagate_labels(e, s, cfg, grid_hw, kernel, query_block)
+        lambda e, s: propagate_labels(
+            e, s, cfg, grid_hw, kernel, query_block, vmem_budget
+        )
     )(emb, seed_labels)

@@ -77,14 +77,20 @@ def _rung_ladder(grace_period: int, reduction_factor: int, max_t: int) -> list[i
 
 
 def _listify(x):
+    """JSON-encode config values, tagging tuples so the round-trip is
+    type-preserving (a plain list must come back as a list)."""
     if isinstance(x, tuple):
+        return {"__tuple__": [_listify(v) for v in x]}
+    if isinstance(x, list):
         return [_listify(v) for v in x]
     return x
 
 
 def _tuplify(x):
+    if isinstance(x, dict) and set(x) == {"__tuple__"}:
+        return tuple(_tuplify(v) for v in x["__tuple__"])
     if isinstance(x, list):
-        return tuple(_tuplify(v) for v in x)
+        return [_tuplify(v) for v in x]
     return x
 
 
@@ -92,31 +98,34 @@ def _sweep_path(checkpoint_dir: str) -> str:
     return os.path.join(checkpoint_dir, "sweep.json")
 
 
-def _save_sweep(checkpoint_dir: str, trials: list[Trial]) -> None:
-    state = [
-        {
-            "config": {k: _listify(v) for k, v in t.config.items()},
-            "losses": t.losses,
-            "epoch_times": t.epoch_times,
-            "epochs_done": t.epochs_done,
-            "alive": t.alive,
-        }
-        for t in trials
-    ]
+def _save_sweep(checkpoint_dir: str, trials: list[Trial], rungs_done: int) -> None:
+    state = {
+        "rungs_done": rungs_done,  # promotions applied; guards rung replay
+        "trials": [
+            {
+                "config": {k: _listify(v) for k, v in t.config.items()},
+                "losses": t.losses,
+                "epoch_times": t.epoch_times,
+                "epochs_done": t.epochs_done,
+                "alive": t.alive,
+            }
+            for t in trials
+        ],
+    }
     tmp = _sweep_path(checkpoint_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(state, f)
     os.replace(tmp, _sweep_path(checkpoint_dir))
 
 
-def _load_sweep(checkpoint_dir: str) -> list[Trial] | None:
+def _load_sweep(checkpoint_dir: str) -> tuple[list[Trial], int] | None:
     path = _sweep_path(checkpoint_dir)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         state = json.load(f)
     trials = []
-    for s in state:
+    for s in state["trials"]:
         trials.append(
             Trial(
                 config={k: _tuplify(v) for k, v in s["config"].items()},
@@ -126,14 +135,23 @@ def _load_sweep(checkpoint_dir: str) -> list[Trial] | None:
                 alive=bool(s["alive"]),
             )
         )
-    return trials
+    return trials, int(state.get("rungs_done", 0))
 
 
 def _trial_ckpt_dir(checkpoint_dir: str, i: int) -> str:
     return os.path.join(checkpoint_dir, f"trial_{i:03d}")
 
 
-def _save_trial_state(checkpoint_dir: str, i: int, trial: Trial) -> None:
+def _pad_to(xs: list, n: int) -> np.ndarray:
+    return np.asarray(list(xs) + [np.nan] * (n - len(xs)), np.float64)
+
+
+def _save_trial_state(checkpoint_dir: str, i: int, trial: Trial, max_t: int) -> None:
+    """One atomic orbax save per rung holding the TrainState AND the trial's
+    loss/time history (padded to max_t so the restore template has a static
+    shape). Bundling them removes the crash window between a state save and
+    a separate ledger write — restored bookkeeping can never be ahead of or
+    behind the restored parameters."""
     if getattr(trial.trainer, "state", None) is None:
         return
     from .checkpoint import CheckpointManager
@@ -141,17 +159,24 @@ def _save_trial_state(checkpoint_dir: str, i: int, trial: Trial) -> None:
     mgr = CheckpointManager(_trial_ckpt_dir(checkpoint_dir, i), max_to_keep=1)
     try:
         if mgr.latest_step() != trial.epochs_done:
-            mgr.save(trial.epochs_done, trial.trainer.state)
+            payload = {
+                "state": trial.trainer.state,
+                "losses": _pad_to(trial.losses, max_t),
+                "epoch_times": _pad_to(trial.epoch_times, max_t),
+            }
+            mgr.save(trial.epochs_done, payload)
     finally:
         mgr.close()
 
 
-def _restore_trial_state(checkpoint_dir: str, i: int, trial: Trial) -> bool:
-    """Restore a trainer's TrainState from the trial's orbax dir; returns
-    False when no checkpoint exists (the trial retrains from scratch).
-    The orbax step is the trainer's true progress — the sweep ledger may be
-    ahead of it (a crash between the trial save and the rung save), so the
-    trial's bookkeeping is truncated to the restored step."""
+def _restore_trial_state(
+    checkpoint_dir: str, i: int, trial: Trial, max_t: int
+) -> bool:
+    """Restore a trainer's TrainState + loss history from the trial's orbax
+    dir; returns False when no checkpoint exists (the trial retrains from
+    scratch). The checkpoint is the single source of truth for the trial's
+    progress — the global sweep ledger may disagree after a crash, and is
+    overridden here."""
     from .checkpoint import CheckpointManager
 
     d = _trial_ckpt_dir(checkpoint_dir, i)
@@ -162,10 +187,16 @@ def _restore_trial_state(checkpoint_dir: str, i: int, trial: Trial) -> bool:
         step = mgr.latest_step()
         if step is None:
             return False
-        trial.trainer.state = mgr.restore(trial.trainer.state, step)
+        template = {
+            "state": trial.trainer.state,
+            "losses": np.full(max_t, np.nan),
+            "epoch_times": np.full(max_t, np.nan),
+        }
+        out = mgr.restore(template, step)
+        trial.trainer.state = out["state"]
         trial.epochs_done = int(step)
-        trial.losses = trial.losses[:step]
-        trial.epoch_times = trial.epoch_times[:step]
+        trial.losses = [float(x) for x in out["losses"][: int(step)]]
+        trial.epoch_times = [float(x) for x in out["epoch_times"][: int(step)]]
         return True
     finally:
         mgr.close()
@@ -203,13 +234,15 @@ def run_asha(
         else:
             trial.trainer = make_trainer(trial.config)
 
-    trials = None
+    trials, rungs_done = None, 0
     if checkpoint_dir is not None:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        trials = _load_sweep(checkpoint_dir)
-        if trials is not None:
+        loaded = _load_sweep(checkpoint_dir)
+        if loaded is not None:
+            trials, rungs_done = loaded
             log(f"[asha] resuming sweep from {checkpoint_dir} "
-                f"({sum(t.alive for t in trials)} alive trials)")
+                f"({sum(t.alive for t in trials)} alive trials, "
+                f"{rungs_done} rungs done)")
     if trials is None:
         trials = [Trial(config=c) for c in sample_configs(space, num_samples, seed)]
     n_dev = len(devices) if devices else 1
@@ -222,7 +255,7 @@ def run_asha(
         if t.trainer is None:
             build(t)
             if checkpoint_dir is not None and t.epochs_done > 0:
-                if not _restore_trial_state(checkpoint_dir, i, t):
+                if not _restore_trial_state(checkpoint_dir, i, t, max_t):
                     # checkpoint lost: retrain from scratch to the same rung
                     t.losses, t.epoch_times, t.epochs_done = [], [], 0
         t0 = time.time()
@@ -234,13 +267,15 @@ def run_asha(
             t.epochs_done += 1
         t.rung_windows.append((t0, time.time(), t.device_idx))
         if checkpoint_dir is not None:
-            _save_trial_state(checkpoint_dir, i, t)
+            _save_trial_state(checkpoint_dir, i, t, max_t)
         log(
             f"[asha] trial {i} rung {rung_budget} dev {t.device_idx}: "
             f"loss={t.last_loss:.5f} config={t.config}"
         )
 
     for rung_i, rung_budget in enumerate(rungs):
+        if rung_i < rungs_done:
+            continue  # this rung's training AND promotion already applied
         todo = [(i, t) for i, t in enumerate(trials) if t.alive]
         if not todo:
             break
@@ -267,7 +302,7 @@ def run_asha(
             for th in threads:
                 th.join()
             if checkpoint_dir is not None:
-                _save_sweep(checkpoint_dir, trials)
+                _save_sweep(checkpoint_dir, trials, rungs_done)
             if errors:
                 raise errors[0]
         else:
@@ -276,18 +311,22 @@ def run_asha(
                     run_trial_to(i, t, rung_budget)
             finally:
                 if checkpoint_dir is not None:
-                    _save_sweep(checkpoint_dir, trials)
+                    _save_sweep(checkpoint_dir, trials, rungs_done)
         if rung_i == len(rungs) - 1:
             break  # final rung: no further pruning
-        # promote top 1/rf of alive trials
+        # promote top 1/rf of alive trials; the pruned alive flags and the
+        # rung counter land in ONE atomic ledger write, so a resume either
+        # replays the whole promotion or skips the whole rung — it can
+        # never re-prune an already-promoted survivor set
         alive = [t for t in trials if t.alive]
         alive.sort(key=lambda t: t.last_loss)
         keep = max(1, len(alive) // reduction_factor)
         for t in alive[keep:]:
             t.alive = False
             t.trainer = None  # free device memory
+        rungs_done = rung_i + 1
         if checkpoint_dir is not None:
-            _save_sweep(checkpoint_dir, trials)
+            _save_sweep(checkpoint_dir, trials, rungs_done)
 
     finished = [t for t in trials if t.losses]
     best = min(finished, key=lambda t: t.last_loss)

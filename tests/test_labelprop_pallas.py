@@ -42,7 +42,12 @@ def test_fused_kernel_matches_xla(T, N, C, M, ctx, radius, knn, budget):
         kb = plan_blocks(ctx + 1, N, C, M, knn, budget)
         assert kb is not None and kb < ctx + 1, "budget must force tiling"
     s_ref, p_ref = propagate_labels(emb, seed, cfg, None, "xla")
-    s_pal, p_pal = propagate_labels(emb, seed, cfg, None, "pallas_interpret")
+    # the budget is threaded through to the kernel, so the tiny-budget case
+    # really runs the multi-block grid (scratch-merge across grid steps,
+    # per-frame re-init) inside the full scan, not just in plan_blocks
+    s_pal, p_pal = propagate_labels(
+        emb, seed, cfg, None, "pallas_interpret", None, budget
+    )
     np.testing.assert_allclose(
         np.asarray(s_pal), np.asarray(s_ref), rtol=1e-4, atol=1e-6
     )

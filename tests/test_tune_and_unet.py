@@ -200,6 +200,118 @@ def test_asha_checkpoint_and_resume_after_kill(tmp_path):
     assert best2.config == best.config and best2.losses == best.losses
 
 
+def test_asha_resume_after_promotion_does_not_reprune(tmp_path):
+    """A sweep killed AFTER a promotion was applied and saved must resume
+    into the NEXT rung — not replay the rung loop from the top and re-apply
+    promotion pruning to the already-promoted survivor set (which would
+    kill trials the fresh schedule trains to max_t)."""
+    import pytest
+
+    space = {"quality": [1.0, 2.0, 3.0, 4.0]}
+    epoch_calls = {"n": 0}
+
+    class StatefulTrainer:
+        def __init__(self, q, mesh=None):
+            import numpy as np
+
+            self.q = q
+            self.state = {"epochs": np.zeros((), np.int32), "q": np.asarray(q, np.float32)}
+
+    def make_trainer(config, mesh=None):
+        return StatefulTrainer(config["quality"], mesh)
+
+    def train_epoch(trainer):
+        epoch_calls["n"] += 1
+        trainer.state = dict(trainer.state, epochs=trainer.state["epochs"] + 1)
+        return float(trainer.state["q"])
+
+    def crashing_epoch(trainer):
+        # rungs [1,2,4] with 4 trials: rung 1 = 4 epochs, promotion 4->2,
+        # crash on the 5th call = during rung 2, AFTER the rung-1 promotion
+        # was applied and written to sweep.json
+        if epoch_calls["n"] >= 5:
+            raise RuntimeError("simulated kill")
+        return train_epoch(trainer)
+
+    kw = dict(
+        space=space, num_samples=4, max_t=4, grace_period=1,
+        reduction_factor=2, seed=3, log=lambda s: None,
+        checkpoint_dir=str(tmp_path / "sweep"),
+    )
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_asha(make_trainer, crashing_epoch, **kw)
+
+    best = run_asha(make_trainer, train_epoch, **kw)
+    trials = list(_all_trials_of_last_run)
+    # both rung-1 survivors must have trained past the rung-1 budget; a
+    # replayed promotion would have pruned one of them at epochs_done == 1
+    past_rung1 = [t for t in trials if t.epochs_done >= 2]
+    assert len(past_rung1) == 2, (
+        f"expected both promoted trials to keep training, got "
+        f"{[(t.config, t.epochs_done, t.alive) for t in trials]}"
+    )
+    assert best.epochs_done == 4
+    assert best.config["quality"] == min(t.config["quality"] for t in trials)
+
+
+def test_tune_config_json_roundtrip_preserves_types():
+    """Tuples and lists in trial configs survive the sweep-ledger JSON
+    round-trip with their types intact (a plain list must NOT come back as
+    a tuple)."""
+    from radar_sounder_crw_tpu.train.tune import _listify, _tuplify
+
+    cfg = {
+        "patch": (16, 16),
+        "dims": [16, 32],
+        "nested": ([1, 2], (3, 4)),
+        "lr": 1e-3,
+        "name": "x",
+    }
+    import json
+
+    back = {k: _tuplify(v) for k, v in json.loads(
+        json.dumps({k: _listify(v) for k, v in cfg.items()})
+    ).items()}
+    assert back == cfg
+    assert isinstance(back["patch"], tuple)
+    assert isinstance(back["dims"], list)
+    assert isinstance(back["nested"][0], list) and isinstance(back["nested"][1], tuple)
+
+
+def test_trial_checkpoint_bundles_loss_history(tmp_path):
+    """The per-trial orbax payload carries the loss history atomically with
+    the TrainState: restoring after a crash that left the global ledger
+    stale recovers BOTH the epoch count and the matching losses (no
+    skipped-epoch misalignment)."""
+    import numpy as np
+
+    from radar_sounder_crw_tpu.train.tune import (
+        Trial,
+        _restore_trial_state,
+        _save_trial_state,
+    )
+
+    class Tr:
+        state = {"w": np.ones((2,), np.float32) * 7}
+
+    t = Trial(config={"q": 1}, trainer=Tr())
+    t.losses = [0.5, 0.25]
+    t.epoch_times = [1.0, 2.0]
+    t.epochs_done = 2
+    _save_trial_state(str(tmp_path), 0, t, max_t=4)
+
+    # stale ledger: pretend sweep.json only recorded epoch 1
+    t2 = Trial(config={"q": 1}, trainer=Tr())
+    t2.losses = [0.5]
+    t2.epoch_times = [1.0]
+    t2.epochs_done = 1
+    assert _restore_trial_state(str(tmp_path), 0, t2, max_t=4)
+    assert t2.epochs_done == 2
+    assert t2.losses == [0.5, 0.25]
+    assert t2.epoch_times == [1.0, 2.0]
+    np.testing.assert_array_equal(t2.trainer.state["w"], np.ones((2,)) * 7)
+
+
 def test_unet_trains_and_predicts():
     rg, seg = synthetic_radargram(H=64, W=512, nclasses=5, seed=5)
     x, y = unfold_strips(rg, seg, strip_w=32, n_classes=5)
