@@ -45,7 +45,7 @@ class PropagateResult:
     prediction: np.ndarray  # (N, T) int32 class map (patch grid)
     xent: np.ndarray  # (N, T-1) horizontality metric
     change_idx: int | None  # PELT change point (frame index) or None
-    soft: np.ndarray  # (T, N, M) soft labels
+    soft: np.ndarray | None  # (T, N, M) soft labels (only with return_soft)
 
 
 @partial(jax.jit, static_argnames=("model", "use_pos_embed", "bn_train_mode"))
@@ -101,6 +101,31 @@ def _batched_encode_propagate(
     return pred, sigs
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model", "use_pos_embed", "bn_train_mode", "cfg", "kernel",
+        "xent_quirk", "compute_sig",
+    ),
+)
+def _encode_propagate_single(
+    model, variables, seq, seed, cfg, use_pos_embed: bool,
+    bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
+    compute_sig: bool,
+):
+    """ONE device program for the whole single-radargram pipeline:
+    encode -> xent metric -> propagation (+ the PELT input signal). One
+    dispatch and one host fetch per call instead of one per stage — on a
+    remote/tunneled host each extra round-trip costs ~tens of ms, and even
+    on PCIe the fused program saves dispatch latency and lets XLA overlap
+    the stages."""
+    emb = encode_sequence(model, variables, seq, use_pos_embed, bn_train_mode)
+    xent = horizontality_xent(emb, xent_tau, quirk_channel_shift=xent_quirk)
+    soft, pred = propagate_labels(emb, seed, cfg, None, kernel)
+    sig = column_diffs(xent) if compute_sig else None
+    return soft, pred, xent, sig
+
+
 def seed_onehot_from_segmentation(seg_ref: np.ndarray, n_nodes: int, nclasses: int):
     """Nearest-resize a seed segmentation patch to one label per node and
     one-hot it (reference: src/utils.py:139-147)."""
@@ -144,35 +169,47 @@ class PropagationPipeline:
         )
 
     def __call__(
-        self, seq, seg_ref, use_last: bool = False, detect_change: bool = True
+        self, seq, seg_ref, use_last: bool = False, detect_change: bool = True,
+        return_soft: bool = False,
     ) -> PropagateResult:
         """seq: (T, N, H, W) host array OR pre-staged device array (staying
         device-resident avoids a host->device upload per call); seg_ref: 2-D
         seed segmentation patch covering the first frame's pixels (last
-        frame's if use_last)."""
+        frame's if use_last). return_soft additionally fetches the full
+        (T, N, M) soft-label history to host — off by default because the
+        map/xent consumers never need it and the transfer dominates
+        seed->map latency on a slow host link (the reference likewise keeps
+        its mask history internal, src/utils.py:152-160)."""
         seq = jnp.asarray(seq, jnp.float32)  # no-op for device-resident input
         if use_last:  # reference: src/utils.py:108
             seq = seq[::-1]
         T, N, _, _ = seq.shape
 
-        emb = self.encode(seq)
-        xent = horizontality_xent(
-            emb, self.xent_tau, quirk_channel_shift=self.xent_quirk
+        seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
+        compute_sig = detect_change and T >= 4
+        soft, pred, xent, sig = _encode_propagate_single(
+            self.model, self.variables, seq, jnp.asarray(seed), self.lp_cfg,
+            self.use_pos_embed, self.bn_train_mode, "auto", self.xent_tau,
+            self.xent_quirk, compute_sig,
         )
 
+        # one host fetch for everything this call returns
+        fetched = jax.device_get(
+            (pred, xent) + ((sig,) if compute_sig else ())
+            + ((soft,) if return_soft else ())
+        )
+        pred_h, xent_h = fetched[0], fetched[1]
         change_idx = None
-        if detect_change and T >= 4:
-            sig = np.asarray(column_diffs(xent))
-            change_idx = detect_change_point(sig, pen=self.pelt_pen)
-
-        seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
-        soft, pred = propagate_labels(emb, jnp.asarray(seed), self.lp_cfg)
+        if compute_sig:
+            change_idx = detect_change_point(
+                np.asarray(fetched[2]), pen=self.pelt_pen
+            )
 
         return PropagateResult(
-            prediction=np.asarray(pred).T.astype(np.int32),  # (N, T)
-            xent=np.asarray(xent),
+            prediction=np.asarray(pred_h).T.astype(np.int32),  # (N, T)
+            xent=np.asarray(xent_h),
             change_idx=change_idx,
-            soft=np.asarray(soft),
+            soft=np.asarray(fetched[-1]) if return_soft else None,
         )
 
     def prediction_to_pixels(self, prediction: np.ndarray, out_hw: tuple[int, int]):
