@@ -63,6 +63,21 @@ def radius_mask(h: int, w: int, radius: float) -> np.ndarray:
     return np.where(np.sqrt(d2) < radius, 0.0, NEG_MASKED).astype(np.float32)
 
 
+def _push_frame(carry, q, pred):
+    """Push a frame's feats + predicted labels into the circular region
+    (slots 1..K-1; slot 0 permanently holds the seed frame). Shared by all
+    step variants so the ring policy lives in one place."""
+    feats, labels, valid, ptr = carry
+    K = feats.shape[0]
+    slot = 1 + jnp.mod(ptr, K - 1)
+    return (
+        feats.at[slot].set(q),
+        labels.at[slot].set(pred),
+        valid.at[slot].set(1.0),
+        ptr + 1,
+    )
+
+
 def _prop_step(mask, temperature, knn, carry, q):
     """One frame of propagation. carry: ring buffer; q: (N, C) query feats."""
     feats, labels, valid, ptr = carry
@@ -90,16 +105,10 @@ def _prop_step(mask, temperature, knn, carry, q):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-
-    # push this frame into the circular region (slots 1..K-1)
-    slot = 1 + jnp.mod(ptr, K - 1)
-    feats = feats.at[slot].set(q)
-    labels = labels.at[slot].set(pred)
-    valid = valid.at[slot].set(1.0)
-    return (feats, labels, valid, ptr + 1), pred
+    return _push_frame(carry, q, pred), pred
 
 
-def _prop_step_chunked(mask, temperature, knn, qb, carry, q):
+def _prop_step_chunked(mask_pad, chunk_ids, temperature, knn, qb, carry, q):
     """Query-chunked variant of _prop_step: the TPU-native slot of the
     reference's `mem_efficient_batched_affinity` (src/imported/
     maskedatt.py:177-207), which double-minibatches the affinity so the
@@ -113,14 +122,14 @@ def _prop_step_chunked(mask, temperature, knn, qb, carry, q):
     trimming its plain `batched_affinity` applies, maskedatt.py:166-167
     vs :177-207), chunking changes memory use only: results match
     _prop_step (bit-identical on TPU; XLA:CPU matmul blocking is
-    shape-dependent, so CPU sees ulp-level reassociation; tested)."""
+    shape-dependent, so CPU sees ulp-level reassociation; tested).
+
+    mask_pad ((N, ceil(N/qb)*qb), query columns padded NEG_MASKED) and
+    chunk_ids are frame-invariant and bound once outside the scan."""
     feats, labels, valid, ptr = carry
     K, N, C = feats.shape
-    n_pad = -(-N // qb) * qb
+    n_pad = mask_pad.shape[1]
     q_pad = jnp.pad(q, ((0, n_pad - N), (0, 0)))
-    # padded query columns: NEG_MASKED everywhere is fine — their outputs
-    # are sliced away below
-    mask_pad = jnp.pad(mask, ((0, 0), (0, n_pad - N)), constant_values=NEG_MASKED)
     slot_bias = ((1.0 - valid) * NEG_INVALID)[:, None, None]
     labels_flat = labels.reshape(K * N, -1)
 
@@ -142,32 +151,22 @@ def _prop_step_chunked(mask, temperature, knn, qb, carry, q):
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    preds = jax.lax.map(one_chunk, jnp.arange(n_pad // qb))
+    preds = jax.lax.map(one_chunk, chunk_ids)
     pred = preds.reshape(n_pad, -1)[:N]
-
-    slot = 1 + jnp.mod(ptr, K - 1)
-    feats = feats.at[slot].set(q)
-    labels = labels.at[slot].set(pred)
-    valid = valid.at[slot].set(1.0)
-    return (feats, labels, valid, ptr + 1), pred
+    return _push_frame(carry, q, pred), pred
 
 
 def _prop_step_fused(mask, temperature, knn, interpret, vmem_budget, carry, q):
     """Fused-kernel variant of _prop_step (see labelprop_pallas.py)."""
     from .labelprop_pallas import prop_step_pallas
 
-    feats, labels, valid, ptr = carry
-    K, N, C = feats.shape
+    feats, labels, valid, _ = carry
     slot_bias = (1.0 - valid) * NEG_INVALID
     pred = prop_step_pallas(
         feats, q, mask, labels, slot_bias, 1.0 / temperature, knn,
         interpret=interpret, vmem_budget=vmem_budget,
     )
-    slot = 1 + jnp.mod(ptr, K - 1)
-    feats = feats.at[slot].set(q)
-    labels = labels.at[slot].set(pred)
-    valid = valid.at[slot].set(1.0)
-    return (feats, labels, valid, ptr + 1), pred
+    return _push_frame(carry, q, pred), pred
 
 
 @partial(
@@ -230,9 +229,19 @@ def propagate_labels(
         )
     if kernel == "xla":
         if query_block is not None:
+            if int(query_block) < 1:
+                raise ValueError(f"query_block must be >= 1, got {query_block}")
+            qb = min(int(query_block), N)
+            n_pad_q = -(-N // qb) * qb
+            # frame-invariant chunking constants, bound once outside the scan
+            # (padded query columns rank below every real candidate and their
+            # outputs are sliced away in the step)
+            mask_pad = jnp.pad(
+                mask, ((0, 0), (0, n_pad_q - N)), constant_values=NEG_MASKED
+            )
             step = partial(
-                _prop_step_chunked, mask, cfg.temperature, knn,
-                max(1, min(int(query_block), N)),
+                _prop_step_chunked, mask_pad, jnp.arange(n_pad_q // qb),
+                cfg.temperature, knn, qb,
             )
         else:
             step = partial(_prop_step, mask, cfg.temperature, knn)

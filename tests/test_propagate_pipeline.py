@@ -105,6 +105,51 @@ def test_reverse_unfold_flip_and_integration():
     assert out3[0, 1] == 0 and out3[0, 2] == 2
 
 
+def test_call_fetch_combinations(trained_setup):
+    """All four detect_change x return_soft combinations of the fused
+    single-program __call__ return mutually consistent results: the host
+    fetch tuple is assembled positionally, so this pins that soft is really
+    the soft-label history (argmax == prediction) and the PELT signal is
+    not confused with it."""
+    _, seg, ds, trainer = trained_setup
+    pipe = make_pipeline(trainer)
+    geo = ds.geo
+    seq, ref = ds[0], seg[: geo.rg_h(), : geo.w]
+    base = None
+    for detect in (False, True):
+        for want_soft in (False, True):
+            res = pipe(seq, ref, detect_change=detect, return_soft=want_soft)
+            assert res.prediction.shape == (geo.nh, geo.length)
+            assert res.xent.shape == (geo.nh, geo.length - 1)
+            if want_soft:
+                assert res.soft is not None
+                assert res.soft.shape[0] == geo.length
+                # soft really is the label history, not the PELT signal
+                np.testing.assert_array_equal(
+                    res.soft.argmax(-1).T, res.prediction
+                )
+            else:
+                assert res.soft is None
+            if not detect:
+                assert res.change_idx is None
+            if base is None:
+                base = res.prediction
+            else:  # fetch shape must not affect the map
+                np.testing.assert_array_equal(res.prediction, base)
+
+
+def test_query_block_rejects_nonpositive():
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.ops import propagate_labels
+
+    emb = np.zeros((3, 4, 8), np.float32)
+    seed = np.eye(2, dtype=np.float32)[[0, 1, 0, 1]]
+    cfg = LabelPropConfig(cxt_size=2, radius=2, temperature=0.1, knn=2)
+    with pytest.raises(ValueError, match="query_block"):
+        propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla", 0)
+
+
 def test_change_detection_on_changed_radargram(trained_setup):
     """A radargram with a planted mid-line regime change should produce a
     non-None change index somewhere in the interior."""
