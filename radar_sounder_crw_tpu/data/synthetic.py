@@ -44,7 +44,13 @@ def synthetic_radargram(
 
     `change_point` (fraction of W) makes layer geometry/texture change
     character mid-line, which the PELT detector should pick up.
+
+    nclasses selects the labeling convention (4=MCORDS1, 5=SHARAD,
+    6+=MCORDS3 — the class counts of the real products); fewer than 4
+    classes cannot be generated.
     """
+    if nclasses < 4:
+        raise ValueError(f"nclasses must be >= 4 (got {nclasses})")
     rng = np.random.default_rng(seed)
     rows = np.arange(H)[:, None]
 

@@ -33,7 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.labelprop import LabelPropConfig, propagate_labels
+from ..ops.labelprop import (
+    LabelPropConfig,
+    propagate_labels,
+    propagate_labels_batched,
+)
 from ..ops.pelt import detect_change_point
 from ..ops.xent_metric import column_diffs, horizontality_xent
 from ..utils.pos_embed import maybe_pos_embed
@@ -83,14 +87,10 @@ def _batched_encode_propagate(
     per-radargram encode, while the dominant-FLOPs encoder forward runs
     sharded instead of serially per radargram (round-1 VERDICT weak #2).
     """
-    from ..ops.labelprop import propagate_labels
-
     embs = jax.vmap(
         lambda s: encode_sequence(model, variables, s, use_pos_embed, bn_train_mode)
     )(seqs)
-    _, pred = jax.vmap(
-        lambda e, s: propagate_labels(e, s, cfg, None, kernel)
-    )(embs, seeds)
+    _, pred = propagate_labels_batched(embs, seeds, cfg, None, kernel)
     if not compute_xent:
         return pred, None
     sigs = jax.vmap(

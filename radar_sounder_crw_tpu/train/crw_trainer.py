@@ -168,6 +168,7 @@ class CRWTrainer:
             donate_argnums=(0,),
         )
         self.state: TrainState | None = None
+        self._epoch_idx = 0  # global epoch counter driving shuffle order
 
     # -- lifecycle -----------------------------------------------------------
     def init_state(self, example_item_shape) -> TrainState:
@@ -202,9 +203,12 @@ class CRWTrainer:
         else:
             sh = replicated(self.mesh)
             step = self._step_repl
+        # device_put on the HOST array uploads each shard once, directly to
+        # its device (jnp.asarray first would stage the whole batch on the
+        # default device and then reshard — double the H2D traffic)
         return (
-            jax.device_put(jnp.asarray(batch), sh),
-            jax.device_put(jnp.asarray(weights), sh),
+            jax.device_put(batch, sh),
+            jax.device_put(weights, sh),
             step,
         )
 
@@ -222,11 +226,23 @@ class CRWTrainer:
         cfg = self.config
         if self.state is None:
             self.init_state(dataset[0].shape)
-        rng = np.random.default_rng(cfg.seed)
+        # shuffle order is keyed by (seed, global epoch index), with the
+        # counter persisted on the trainer: callers that drive one epoch per
+        # fit() call (the ASHA tuner) get a fresh permutation each epoch
+        # instead of replaying epoch 0's order, and a resumed run continues
+        # the schedule from where the restored optimizer step left off
+        steps_per_epoch = max(
+            1, -(-len(dataset) // cfg.batch_size)
+        )
+        if self._epoch_idx == 0 and int(jax.device_get(self.state.step)) > 0:
+            self._epoch_idx = int(jax.device_get(self.state.step)) // steps_per_epoch
         history = []
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            order = rng.permutation(len(dataset))
+            order = np.random.default_rng(
+                [cfg.seed, self._epoch_idx]
+            ).permutation(len(dataset))
+            self._epoch_idx += 1
             starts = list(range(0, len(order), cfg.batch_size))
 
             def host_batch(si):
@@ -244,10 +260,10 @@ class CRWTrainer:
                     chunk = [host_batch(si + j) for j in range(kk)]
                     if kk == k and all(len(b) == cfg.batch_size for b in chunk):
                         seqs = jax.device_put(
-                            jnp.asarray(np.stack(chunk)), mbsh
+                            np.stack(chunk).astype(np.float32), mbsh
                         )
                         w = jax.device_put(
-                            jnp.ones((k, cfg.batch_size), np.float32), mbsh
+                            np.ones((k, cfg.batch_size), np.float32), mbsh
                         )
                         self.state, ls = self._multi_step(self.state, seqs, w)
                         losses.extend([ls[j] for j in range(k)])

@@ -73,6 +73,16 @@ class UNetTrainer:
             out_shardings=(repl, None),
             donate_argnums=(0,),
         )
+        # partial-batch step: the batch runs replicated instead of padded
+        # with duplicated rows, so BatchNorm batch statistics (train mode)
+        # stay exactly those of the unpadded batch — same policy as
+        # CRWTrainer (crw_trainer.py:_stage)
+        self._step_repl = jax.jit(
+            self._step_fn,
+            in_shardings=(repl, repl, repl, repl),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
         self._infer = jax.jit(
             self._infer_fn, in_shardings=(repl, bsh), out_shardings=bsh
         )
@@ -148,14 +158,23 @@ class UNetTrainer:
             t0 = time.time()
             order = rng.permutation(len(x))
             losses = []
+            n_dev = self.mesh.devices.size
+            bsh, repl = batch_sharding(self.mesh), replicated(self.mesh)
             for s in range(0, len(order), cfg.batch_size):
                 idx = order[s : s + cfg.batch_size]
-                bx, real = pad_to_multiple(x[idx], self.mesh.devices.size)
-                by, _ = pad_to_multiple(y[idx], self.mesh.devices.size)
-                w = np.zeros(len(bx), np.float32)
-                w[:real] = 1.0
-                self.state, loss = self._step(
-                    self.state, jnp.asarray(bx), jnp.asarray(by), jnp.asarray(w)
+                bx, by = x[idx], y[idx]
+                w = np.ones(len(bx), np.float32)
+                # partial batch: replicate unpadded (exact BN statistics)
+                # instead of padding with duplicated rows
+                step, sh = (
+                    (self._step, bsh) if len(bx) % n_dev == 0
+                    else (self._step_repl, repl)
+                )
+                self.state, loss = step(
+                    self.state,
+                    jax.device_put(jnp.asarray(bx), sh),
+                    jax.device_put(jnp.asarray(by), sh),
+                    jax.device_put(jnp.asarray(w), sh),
                 )
                 losses.append(loss)
             epoch_loss = float(np.mean(jax.device_get(losses)))

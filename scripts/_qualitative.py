@@ -46,3 +46,25 @@ def load_files_or_synth(
         rgs.append(np.asarray(rg, np.float32))
         sgs.append(np.asarray(sg, np.int32))
     return rgs, sgs
+
+
+def load_refs_or_fallback(
+    input_folder: str, names: list[str], fallback_sgs: list[np.ndarray]
+):
+    """Load auxiliary seed segmentations (e.g. the reverse-pass references,
+    reference test_mc1.py:60-62); when a file is absent, fall back to the
+    caller's forward reference for that radargram — NEVER to a synthetic
+    segmentation, which would be unrelated to the (possibly real) radargram
+    it seeds."""
+    out = []
+    for i, n in enumerate(names):
+        p = os.path.join(input_folder, n)
+        if os.path.exists(p):
+            out.append(np.asarray(load_radargram(p), np.int32))
+        else:
+            print(
+                f"[qualitative] {n} not found; seeding from the forward "
+                f"reference instead"
+            )
+            out.append(np.asarray(fallback_sgs[i], np.int32))
+    return out

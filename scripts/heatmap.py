@@ -87,7 +87,10 @@ def main(args):
     ax[1].imshow(xent, cmap="gray", interpolation="nearest")
     ax[1].set_ylabel("Time [μs]")
 
-    roll = np.asarray(rg).reshape(rg.shape[0], -1, 32).mean(axis=(0, 2))
+    # block-mean over width-32 chunks; trim the tail so any width works
+    block = min(32, rg.shape[1])
+    wb = (rg.shape[1] // block) * block
+    roll = np.asarray(rg)[:, :wb].reshape(rg.shape[0], -1, block).mean(axis=(0, 2))
     ax[2].plot(roll, "k")
     ax[2].grid()
     ax[2].set_xlim(0, len(roll) - 1)

@@ -25,10 +25,10 @@ def main(args):
     )
     images = ds[args.index]
     T, N, h, w = images.shape
-    fig, axes = plt.subplots(N, T, figsize=(13, 13))
+    fig, axes = plt.subplots(N, T, figsize=(13, 13), squeeze=False)
     for t in range(T):
         for n in range(N):
-            ax = axes[n, t] if N > 1 else axes[t]
+            ax = axes[n, t]
             ax.imshow(-images[t, n], cmap="gray", vmin=-1, vmax=1.5)
             ax.axis("off")
     plt.tight_layout()

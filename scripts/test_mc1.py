@@ -12,7 +12,11 @@ import os
 import numpy as np
 
 from _common import ensure_dirs, load_encoder, normalize_pair
-from _qualitative import load_files_or_synth, window_radargram
+from _qualitative import (
+    load_files_or_synth,
+    load_refs_or_fallback,
+    window_radargram,
+)
 
 
 def get_args_parser():
@@ -51,14 +55,12 @@ def main(args):
         seed0=50,
     )
     # backward references: separate files in the reference (test_mc1.py:60-62);
-    # synthetic fallback reuses the forward GT
-    _, sgrs = load_files_or_synth(
+    # when absent, fall back to each radargram's FORWARD reference — not a
+    # synthetic segmentation, which would be unrelated to a real radargram
+    sgrs = load_refs_or_fallback(
         args.input_folder,
-        ["mc1_1.pt", "mc1_2.pt", "mc1_3.pt"],
         ["mc1_1ref_r.pt", "mc1_2ref_r.pt", "mc1_3ref_r.pt"],
-        nclasses=nclasses,
-        synth_hw=(410, W),
-        seed0=50,
+        sgs,
     )
 
     seqs = [window_radargram(r, patch, overlap) for r in rgs]

@@ -94,6 +94,32 @@ def test_partial_batch_batchnorm_stats_exact():
     )
 
 
+def test_fit_epoch_order_advances_across_calls():
+    """Shuffle order is keyed by a persistent global epoch counter: callers
+    that drive one epoch per fit() call (the ASHA tuner) must get a fresh
+    permutation each epoch, not a replay of epoch 0's order; and a trainer
+    resumed from a checkpointed step continues the schedule rather than
+    restarting it."""
+    ds = tiny_dataset()
+    cfg = CRWTrainConfig(model=0, batch_size=4, epochs=1, lr=1e-3, tau=0.05)
+    tr = CRWTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    tr.fit(ds, log=lambda s: None)
+    assert tr._epoch_idx == 1
+    tr.fit(ds, log=lambda s: None)
+    assert tr._epoch_idx == 2
+    # distinct permutations per epoch index (the property the counter buys)
+    p0 = np.random.default_rng([cfg.seed, 0]).permutation(len(ds))
+    p1 = np.random.default_rng([cfg.seed, 1]).permutation(len(ds))
+    assert not np.array_equal(p0, p1)
+    # a fresh trainer restored mid-run infers its epoch position from the
+    # optimizer step instead of replaying epoch 0
+    tr2 = CRWTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
+    tr2.init_state(ds[0].shape)
+    tr2.state = tr2.state.replace(step=tr.state.step)
+    tr2.fit(ds, log=lambda s: None)
+    assert tr2._epoch_idx == 3  # resumed at 2, trained 1 more
+
+
 def test_checkpoint_roundtrip_and_torch_export(tmp_path):
     ds = tiny_dataset()
     cfg = CRWTrainConfig(model=1, batch_size=4, epochs=1, lr=1e-3, tau=0.05)
