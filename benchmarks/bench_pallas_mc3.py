@@ -6,6 +6,7 @@ scalar that depends on the whole computation (block_until_ready acknowledges
 early through the axon relay).
 """
 
+import os
 import sys
 import time
 
@@ -13,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from radar_sounder_crw_tpu.ops.labelprop import LabelPropConfig, propagate_labels
 from radar_sounder_crw_tpu.ops.labelprop_pallas import plan_blocks

@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from radar_sounder_crw_tpu.models import create_model
 from radar_sounder_crw_tpu.ops import crw_loss
 from radar_sounder_crw_tpu.ops.labelprop import LabelPropConfig, propagate_labels_batched
 from radar_sounder_crw_tpu.train import CRWTrainConfig, CRWTrainer
@@ -45,7 +44,7 @@ def ablation(B, T, patch, overlap, dtype, tag):
     tr = CRWTrainer(cfg)
     tr.init_state(ds[0].shape)
     batch = np.stack([ds[i % len(ds)] for i in range(B)])
-    seq, w = tr._stage(batch)
+    seq, w, step = tr._stage(batch)
     T_, N = ds[0].shape[0], ds[0].shape[1]
 
     # full step
@@ -53,7 +52,7 @@ def ablation(B, T, patch, overlap, dtype, tag):
 
     def full():
         nonlocal state
-        state, loss = tr._step(state, seq, w)
+        state, loss = step(state, seq, w)
         return loss
 
     dt_full = timed(full)

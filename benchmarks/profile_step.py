@@ -39,8 +39,10 @@ def main():
     tr.init_state(ds[0].shape)
     batch = np.stack([ds[i] for i in range(B)])
     bsh = batch_sharding(tr.mesh)
-    seq = jax.device_put(jnp.asarray(batch), bsh)
-    w = jax.device_put(jnp.ones((B,), jnp.float32), bsh)
+    # device_put on the host array: one sharded upload, no default-device
+    # staging copy polluting the trace this profiler captures
+    seq = jax.device_put(batch.astype(np.float32), bsh)
+    w = jax.device_put(np.ones((B,), np.float32), bsh)
 
     state = tr.state
     state, loss = tr._step(state, seq, w)

@@ -78,50 +78,47 @@ class StemPadEncoder(nn.Module):
 
 
 def run_variant(name, B, model_override=None, iters=8):
-    try:
-        rg, _ = synthetic_radargram(H=912, W=6000, nclasses=5, seed=13)
-        ds = RGWindows(rg, length=20, dim=(16, 16), overlap=(8, 0))
-        cfg = CRWTrainConfig(
-            model=1, patch_size=(16, 16), seq_length=20, overlap=(8, 0),
-            batch_size=B, lr=1e-3, tau=0.01, dtype=jnp.bfloat16,
+    rg, _ = synthetic_radargram(H=912, W=6000, nclasses=5, seed=13)
+    ds = RGWindows(rg, length=20, dim=(16, 16), overlap=(8, 0))
+    cfg = CRWTrainConfig(
+        model=1, patch_size=(16, 16), seq_length=20, overlap=(8, 0),
+        batch_size=B, lr=1e-3, tau=0.01, dtype=jnp.bfloat16,
+    )
+    tr = CRWTrainer(cfg)
+    if model_override is not None:
+        tr.model = model_override
+        tr._step_raw = make_crw_train_step(
+            tr.model, tr.tx, cfg.tau, cfg.pos_embed, cfg.remat
         )
-        tr = CRWTrainer(cfg)
-        if model_override is not None:
-            tr.model = model_override
-            tr._step_raw = make_crw_train_step(
-                tr.model, tr.tx, cfg.tau, cfg.pos_embed, cfg.remat
-            )
-            from radar_sounder_crw_tpu.parallel.mesh import replicated
+        from radar_sounder_crw_tpu.parallel.mesh import replicated
 
-            repl = replicated(tr.mesh)
-            bsh = batch_sharding(tr.mesh)
-            tr._step = jax.jit(
-                tr._step_raw, in_shardings=(repl, bsh, bsh),
-                out_shardings=(repl, None), donate_argnums=(0,),
-            )
-        tr.init_state(ds[0].shape)
-        batch = np.stack([ds[i % len(ds)] for i in range(B)])
+        repl = replicated(tr.mesh)
         bsh = batch_sharding(tr.mesh)
-        seq = jax.device_put(jnp.asarray(batch), bsh)
-        w = jax.device_put(jnp.ones((B,), jnp.float32), bsh)
-        state = tr.state
-        t0 = time.perf_counter()
+        tr._step = jax.jit(
+            tr._step_raw, in_shardings=(repl, bsh, bsh),
+            out_shardings=(repl, None), donate_argnums=(0,),
+        )
+    tr.init_state(ds[0].shape)
+    batch = np.stack([ds[i % len(ds)] for i in range(B)])
+    bsh = batch_sharding(tr.mesh)
+    seq = jax.device_put(jnp.asarray(batch), bsh)
+    w = jax.device_put(jnp.ones((B,), jnp.float32), bsh)
+    state = tr.state
+    t0 = time.perf_counter()
+    state, loss = tr._step(state, seq, w)
+    print(f"[{name}] compile {time.perf_counter() - t0:.0f}s "
+          f"loss {float(jax.device_get(loss)):.4f}", flush=True)
+    for _ in range(2):
         state, loss = tr._step(state, seq, w)
-        print(f"[{name}] compile {time.perf_counter() - t0:.0f}s "
-              f"loss {float(jax.device_get(loss)):.4f}", flush=True)
-        for _ in range(2):
-            state, loss = tr._step(state, seq, w)
-        _ = float(jax.device_get(loss))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state, loss = tr._step(state, seq, w)
-        _ = float(jax.device_get(loss))
-        dt = (time.perf_counter() - t0) / iters
-        print(f"[{name}] B={B}: {dt * 1e3:.2f} ms/step, {B / dt:.1f} items/s",
-              flush=True)
-        return dt
-    finally:
-        pass
+    _ = float(jax.device_get(loss))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = tr._step(state, seq, w)
+    _ = float(jax.device_get(loss))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"[{name}] B={B}: {dt * 1e3:.2f} ms/step, {B / dt:.1f} items/s",
+          flush=True)
+    return dt
 
 
 if __name__ == "__main__":

@@ -88,20 +88,22 @@ def _find(paths: tuple[str, ...]) -> str | None:
 
 
 def _synth_pair(dataset_id: int) -> tuple[np.ndarray, np.ndarray]:
-    if dataset_id not in _synth_cache:
+    # RSCRW_SYNTH_SCALE=k shrinks synthetic width by k (fast CI smoke
+    # runs on the 1-core host); Miguel keeps full width — its trim
+    # offsets are absolute (reference: src/dataset.py:67). The cache key
+    # includes the scale so an env change mid-process is honored.
+    scale = int(os.environ.get("RSCRW_SYNTH_SCALE", "1"))
+    key = (dataset_id, scale)
+    if key not in _synth_cache:
         spec = DATASETS[dataset_id]
         H, W = spec.synth_shape
-        # RSCRW_SYNTH_SCALE=k shrinks synthetic width by k (fast CI smoke
-        # runs on the 1-core host); Miguel keeps full width — its trim
-        # offsets are absolute (reference: src/dataset.py:67)
-        scale = int(os.environ.get("RSCRW_SYNTH_SCALE", "1"))
         if scale > 1 and not spec.trim:
             W = max(W // scale, 1024)
         rg, seg = synthetic_radargram(
             H=H, W=W, nclasses=spec.nclasses, seed=spec.synth_seed
         )
-        _synth_cache[dataset_id] = (rg, seg)
-    return _synth_cache[dataset_id]
+        _synth_cache[key] = (rg, seg)
+    return _synth_cache[key]
 
 
 def _load_rg(dataset_id: int) -> np.ndarray:
@@ -173,17 +175,16 @@ def get_reference(
     flip: bool = False,
     length: int | None = None,
     dim: tuple[int, int] | None = None,
-    overlap: tuple[int, int] | None = None,
 ) -> tuple[int, np.ndarray]:
     """(nclasses, segmentation) for a reference id. reference: utils.py:47-73.
 
     w == 0 returns all columns. id 2 is the MCoRDS1 variant whose map carries
-    an extra 'uncertain' label (value 4) used for report masking.
+    an extra 'uncertain' label (value 4) used for report masking. length/dim
+    feed the Miguel trim (id 1) only.
     """
     if id in (0, 2):
-        spec = DATASETS[0]
         path = _find(
-            ("MCoRDS1_2010_DC8/SG2_MCoRDS1_2010_DC8.pt",)
+            DATASETS[0].seg_paths
             if id == 0
             else ("MCoRDS1_2010_DC8/SG3_MCoRDS1_2010_DC8.pt",)
         )

@@ -57,7 +57,7 @@ def main(args):
     rg_len, rg_h = geo.rg_len(), geo.rg_h()
 
     nclasses, seg = get_reference(
-        id=args.dataset, h=N * H, w=0, length=args.seq_length, dim=patch, overlap=overlap
+        id=args.dataset, h=N * H, w=0, length=args.seq_length, dim=patch
     )
     pipe = PropagationPipeline(
         model,

@@ -90,7 +90,7 @@ def main(args):
     T, N, H, W = dummy.shape
     nclasses, seg = get_reference(
         id=args.dataset, h=N * H, w=0, flip=args.flip,
-        length=args.seq_length, dim=patch, overlap=overlap,
+        length=args.seq_length, dim=patch,
     )
     lp_cfg = LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn)
     pipe = PropagationPipeline(
