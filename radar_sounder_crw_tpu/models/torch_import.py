@@ -12,7 +12,11 @@ segmentation-map parity checks. Handles:
 
 The flax modules in this package name their submodules to make this mapping
 structural: torch "layerS.B" == flax "layerS_B", torch "downsample.0/.1" ==
-flax "downsample_conv"/"downsample_bn".
+flax "downsample_conv"/"downsample_bn". The reference UNet's nn.Sequential
+naming (reference src/unet.py: "inc.double_conv.0", "down1.maxpool_conv.1.
+double_conv.3", "up1.conv.double_conv.1", "up1.up", "outc.conv") maps to
+this package's flat DoubleConv names ("inc"/"downN"/"upN" + conv1/bn1/
+conv2/bn2, "upN_up", "outc").
 """
 
 from __future__ import annotations
@@ -25,6 +29,12 @@ _BN_MAP = {
     "running_mean": ("batch_stats", "mean"),
     "running_var": ("batch_stats", "var"),
 }
+
+# torch Sequential index inside DoubleConv -> flax submodule name
+# (2 and 5 are the parameterless ReLUs)
+_DC_IDX = {"0": "conv1", "1": "bn1", "3": "conv2", "4": "bn2"}
+_DC_IDX_REV = {v: k for k, v in _DC_IDX.items()}
+_UNET_DC_PARENTS = {"inc", "down1", "down2", "down3", "up1", "up2", "up3"}
 
 
 def _strip_prefix(sd: dict) -> dict:
@@ -47,6 +57,16 @@ def _module_path(torch_mod: str) -> tuple[str, ...]:
             idx = parts[i + 1]
             out.append("downsample_conv" if idx == "0" else "downsample_bn")
             i += 2
+        elif p == "double_conv" and i + 1 < len(parts) and parts[i + 1] in _DC_IDX:
+            out.append(_DC_IDX[parts[i + 1]])
+            i += 2
+        elif p == "maxpool_conv" and i + 1 < len(parts) and parts[i + 1] == "1":
+            i += 2  # MaxPool2d holds no params; the DoubleConv keeps the parent name
+        elif p == "conv" and out and (out[-1].startswith("up") or out[-1] == "outc"):
+            i += 1  # Up.conv / OutConv.conv wrappers have no flax counterpart
+        elif p == "up" and out and out[-1].startswith("up"):
+            out[-1] = out[-1] + "_up"  # ConvTranspose branch of Up
+            i += 1
         else:
             out.append(p)
             i += 1
@@ -85,7 +105,14 @@ def import_state_dict(state_dict: dict) -> dict:
                 coll, name = _BN_MAP[leaf]
                 _assign(variables[coll], path + (name,), arr)
             elif leaf == "weight":
-                if arr.ndim == 4:  # conv OIHW -> HWIO
+                if arr.ndim == 4 and path and path[-1].endswith("_up"):
+                    # ConvTranspose2d (in,out,kH,kW) -> flax (kH,kW,in,out)
+                    _assign(
+                        variables["params"],
+                        path + ("kernel",),
+                        np.transpose(arr, (2, 3, 0, 1)),
+                    )
+                elif arr.ndim == 4:  # conv OIHW -> HWIO
                     _assign(
                         variables["params"],
                         path + ("kernel",),
@@ -130,9 +157,13 @@ def export_state_dict(variables: dict) -> dict:
                 out_key = _to_torch_name(path + (key,), coll)
                 arr = np.asarray(val)
                 if key == "kernel":
-                    arr = (
-                        np.transpose(arr, (3, 2, 0, 1)) if arr.ndim == 4 else arr.T
-                    )
+                    if arr.ndim == 4 and path and path[-1].endswith("_up"):
+                        # flax ConvTranspose (kH,kW,in,out) -> torch (in,out,kH,kW)
+                        arr = np.transpose(arr, (2, 3, 0, 1))
+                    elif arr.ndim == 4:
+                        arr = np.transpose(arr, (3, 2, 0, 1))
+                    else:
+                        arr = arr.T
                 out[out_key] = arr
 
     walk(variables.get("params", {}), (), "params")
@@ -151,6 +182,20 @@ def _to_torch_name(path: tuple[str, ...], coll: str) -> str:
         elif "_" in m and m.startswith("layer") and m.split("_")[-1].isdigit():
             stage, block = m.rsplit("_", 1)
             parts += [stage, block]
+        elif m in _DC_IDX_REV and parts and parts[-1] in _UNET_DC_PARENTS:
+            # reference UNet Sequential wrappers (src/unet.py): Down wraps
+            # its DoubleConv behind maxpool_conv.1, Up behind .conv
+            parent = parts[-1]
+            if parent.startswith("down"):
+                parts += ["maxpool_conv", "1", "double_conv", _DC_IDX_REV[m]]
+            elif parent.startswith("up"):
+                parts += ["conv", "double_conv", _DC_IDX_REV[m]]
+            else:  # inc
+                parts += ["double_conv", _DC_IDX_REV[m]]
+        elif m == "outc":
+            parts += ["outc", "conv"]
+        elif m.startswith("up") and m.endswith("_up"):
+            parts += [m[: -len("_up")], "up"]
         else:
             parts.append(m)
     leaf_map = {

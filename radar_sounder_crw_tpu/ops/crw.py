@@ -145,8 +145,14 @@ def crw_loss(
     emb: (B, T, N, C). Returns (loss, A) — A being the pre-softmax affinities
     the analysis pipeline reuses (reference: src/model.py:26-46). per_item
     returns (B,) losses whose mean is the scalar loss (padded-batch support).
+    With only_a=True, returns A ALONE (no tuple — mirrors the reference's
+    only_a branch, src/model.py:27-28).
     """
-    emb = emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
+    # x * rsqrt(max(sumsq, eps)) instead of x / ||x||.clip(eps): the norm's
+    # vjp at an exactly-zero row is 0/0 = NaN, which 0-cotangents still
+    # propagate — zero-padded placeholder rows must not poison the batch grad
+    sumsq = jnp.sum(jnp.square(emb), axis=-1, keepdims=True)
+    emb = emb * jax.lax.rsqrt(jnp.maximum(sumsq, 1e-24))
     A = crw_affinity(emb, tau)
     if only_a:
         return A

@@ -163,7 +163,7 @@ def _prop_step_fused(mask, temperature, knn, interpret, vmem_budget, carry, q):
     feats, labels, valid, _ = carry
     slot_bias = (1.0 - valid) * NEG_INVALID
     pred = prop_step_pallas(
-        feats, q, mask, labels, slot_bias, 1.0 / temperature, knn,
+        feats, q, mask, labels, slot_bias, temperature, knn,
         interpret=interpret, vmem_budget=vmem_budget,
     )
     return _push_frame(carry, q, pred), pred

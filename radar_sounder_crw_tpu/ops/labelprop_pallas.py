@@ -106,7 +106,7 @@ def plan_blocks(
 
 def _prop_step_kernel(
     slot_bias_ref,  # (K_pad, 1) SMEM: per-slot validity bias (scalar prefetch)
-    inv_temp_ref,  # (1, 1) SMEM: 1/temperature
+    temp_ref,  # (1, 1) SMEM: temperature
     feats_ref,  # (kb*N_pad, C_pad) this block's slot-padded context features
     query_ref,  # (C_pad, N_pad) current frame features, transposed
     mask_ref,  # (N_pad, N_pad) radius mask (+NEG_PAD on padding rows)
@@ -140,14 +140,17 @@ def _prop_step_kernel(
         precision=jax.lax.Precision.HIGHEST,
     )
 
-    inv_temp = inv_temp_ref[0, 0]
+    temp = temp_ref[0, 0]
     mask = mask_ref[:]
 
     def add_mask(k, _):
         rows = pl.ds(k * n_pad, n_pad)
+        # divide (not multiply-by-reciprocal): bit-equal with the XLA
+        # path's `aff / temperature` — x*(1/t) differs by ulps for
+        # non-power-of-two temperatures, enough to flip top-k ties
         aff[rows, :] = (
             aff[rows, :] + mask + slot_bias_ref[pid * kb + k, 0]
-        ) * inv_temp
+        ) / temp
         return 0
 
     jax.lax.fori_loop(0, kb, add_mask, 0)
@@ -206,14 +209,15 @@ def _prop_step_kernel(
     jax.jit, static_argnames=("knn", "interpret", "vmem_budget")
 )
 def prop_step_pallas(
-    feats, query, radius_mask_nn, labels, slot_bias, inv_temp, knn: int,
+    feats, query, radius_mask_nn, labels, slot_bias, temp, knn: int,
     interpret: bool = False, vmem_budget: int | None = None,
 ):
     """One fused propagation step.
 
     feats (K, N, C); query (N, C); radius_mask_nn (N, N) additive;
     labels (K, N, M); slot_bias (K,) additive per-slot validity bias
-    (pre-temperature, like the radius mask). Returns pred (N, M).
+    (pre-temperature, like the radius mask); temp divides the masked
+    affinities exactly like the XLA path. Returns pred (N, M).
     """
     K, N, C = feats.shape
     M = labels.shape[-1]
@@ -238,7 +242,7 @@ def prop_step_pallas(
     lab = lab.reshape(k_pad * n_pad, m_pad).T  # (M_pad, K_pad*N_pad)
     sb = jnp.full((k_pad, 1), NEG_PAD, jnp.float32)
     sb = sb.at[:K, 0].set(slot_bias.astype(jnp.float32))
-    it = jnp.full((1, 1), inv_temp, jnp.float32)
+    it = jnp.full((1, 1), temp, jnp.float32)
 
     pred = pl.pallas_call(
         functools.partial(
@@ -248,7 +252,7 @@ def prop_step_pallas(
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # slot_bias (full)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # inv_temp
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
             pl.BlockSpec((kb * n_pad, c_pad), lambda i: (i, 0)),  # feats block
             pl.BlockSpec((c_pad, n_pad), lambda i: (0, 0)),  # query
             pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0)),  # mask

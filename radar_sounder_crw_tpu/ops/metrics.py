@@ -18,6 +18,15 @@ def confusion_matrix(y_true, y_pred, num_classes: int | None = None) -> np.ndarr
     p = np.asarray(y_pred).ravel().astype(np.int64)
     if num_classes is None:
         num_classes = int(max(t.max(initial=-1), p.max(initial=-1))) + 1
+    # validate like sklearn would: negative labels must not wrap to the last
+    # row via fancy indexing, and out-of-range labels deserve a real message
+    for name, arr in (("y_true", t), ("y_pred", p)):
+        if arr.size and (arr.min() < 0 or arr.max() >= num_classes):
+            bad = arr[(arr < 0) | (arr >= num_classes)]
+            raise ValueError(
+                f"{name} contains labels outside [0, {num_classes}): "
+                f"{np.unique(bad)[:10].tolist()}"
+            )
     cm = np.zeros((num_classes, num_classes), dtype=np.int64)
     np.add.at(cm, (t, p), 1)
     return cm

@@ -223,6 +223,15 @@ def test_detect_change_point_reference_postprocessing():
         assert idx is None
 
 
+def test_confusion_matrix_rejects_out_of_range_labels():
+    """Negative labels must not wrap to the last class via fancy indexing,
+    and labels >= num_classes must raise informatively (sklearn would)."""
+    with pytest.raises(ValueError, match="y_true"):
+        confusion_matrix(np.array([0, -1, 2]), np.array([0, 1, 2]), 5)
+    with pytest.raises(ValueError, match="y_pred"):
+        confusion_matrix(np.array([0, 1, 2]), np.array([0, 5, 2]), 5)
+
+
 def test_metrics_match_sklearn():
     sklearn = pytest.importorskip("sklearn.metrics")
     rng = np.random.default_rng(4)

@@ -92,6 +92,18 @@ def test_only_a_mode():
     assert A.shape == (1, 3, 6, 6)
 
 
+def test_zero_embedding_row_keeps_gradients_finite():
+    """An exactly-zero embedding row (e.g. zero-padded placeholder items)
+    must not poison the whole batch's gradient: x/||x||.clip(eps) has a NaN
+    vjp at 0 (0/0 through the norm), which the rsqrt(max(sumsq, eps)) form
+    avoids."""
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((2, 4, 6, 8)).astype(np.float32)
+    emb[0, 1, 2, :] = 0.0
+    g = jax.grad(lambda e: crw_loss(e, 0.07)[0])(jnp.asarray(emb))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_jit_and_vmap_compose():
     rng = np.random.default_rng(3)
     emb = jnp.asarray(rng.standard_normal((2, 6, 10, 8)).astype(np.float32))

@@ -95,7 +95,7 @@ def test_single_step_mc3_scale(K, N, C, M, knn, budget):
     kwargs = {} if budget is None else {"vmem_budget": budget}
     got = prop_step_pallas(
         jnp.asarray(feats), jnp.asarray(query), jnp.asarray(mask_nn),
-        jnp.asarray(labels), jnp.asarray(slot_bias), 1.0 / temp, knn,
+        jnp.asarray(labels), jnp.asarray(slot_bias), temp, knn,
         interpret=True, **kwargs,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)

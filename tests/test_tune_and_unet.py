@@ -312,6 +312,65 @@ def test_trial_checkpoint_bundles_loss_history(tmp_path):
     np.testing.assert_array_equal(t2.trainer.state["w"], np.ones((2,)) * 7)
 
 
+def test_unet_weight_import_matches_reference():
+    """Weights saved by the reference UNet (torch nn.Sequential naming:
+    'inc.double_conv.0', 'down1.maxpool_conv.1.double_conv.3',
+    'up1.conv.double_conv.1', 'outc.conv' — reference src/unet.py) import
+    into this package's flax UNet and produce the same logits; the export
+    direction emits a state_dict the reference model accepts with no
+    unexpected keys."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    import torch
+
+    from _reference_runtime import import_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not present")
+
+    from radar_sounder_crw_tpu.models.torch_import import (
+        export_state_dict,
+        import_state_dict,
+    )
+    from radar_sounder_crw_tpu.models.unet import UNet
+
+    ref_unet = import_reference("unet")
+    tnet = ref_unet.UNet(1, 5, bilinear=True)
+    tnet.eval()
+    with torch.no_grad():  # non-trivial running stats so eval BN matters
+        for m in tnet.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    variables = import_state_dict(tnet.state_dict())
+    fnet = UNet(n_channels=1, n_classes=5, bilinear=True)
+    x = np.random.default_rng(0).standard_normal((2, 64, 32, 1)).astype(np.float32)
+    ours = np.asarray(
+        fnet.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x),
+            train=False,
+        )
+    )
+    with torch.no_grad():
+        theirs = (
+            tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+    np.testing.assert_allclose(ours, theirs, rtol=5e-4, atol=5e-4)
+
+    # export round-trip: the reference must accept every exported key
+    sd = {
+        k: torch.from_numpy(v.copy()) for k, v in export_state_dict(variables).items()
+    }
+    missing, unexpected = tnet.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    assert all("num_batches_tracked" in k for k in missing)
+
+
 def test_unet_partial_batch_batchnorm_exact():
     """UNet partial batches run replicated instead of padded with
     duplicated rows, so train-mode BatchNorm statistics match the
