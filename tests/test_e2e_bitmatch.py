@@ -93,6 +93,7 @@ def _our_pipeline(model_id, pos_embed, variables, cfg_tuple, nclasses, bn_train)
         (0, False, False, True),  # CNN, last-frame seed (time flip)
         (1, False, False, False),  # ResNet, eval BN (test.py:42 semantics)
         (1, True, False, False),  # ResNet, train BN (test_all.py semantics)
+        (1, False, False, True),  # ResNet, last-frame seed (reverse pass)
     ],
 )
 def test_propagate_pipeline_bitmatch(model_id, bn_train, pos_embed, use_last):
