@@ -112,8 +112,8 @@ def test_pelt_finds_planted_change():
 def test_pelt_no_change_returns_none():
     rng = np.random.default_rng(3)
     sig = rng.normal(0, 0.2, 80)
-    idx = detect_change_point(sig, pen=50.0)
-    assert idx is None or idx >= 0  # typically None; never negative
+    # flat noise at a high penalty: the detector must find NO change point
+    assert detect_change_point(sig, pen=50.0) is None
     assert detect_change_point(np.zeros(2), pen=5.0) is None  # too short
 
 

@@ -54,5 +54,12 @@ def test_correction_tail_quality_and_splice_exactness():
     assert acc_tail > 0.7, f"corrected tail accuracy {acc_tail}"
     # head region untouched by the splice
     np.testing.assert_array_equal(fixed_px[:, : rg_len - off], pred_px[:, : rg_len - off])
-    # corrected window really is re-seeded at the change point
+    # corrected window really is re-seeded from seg_ref2: its frame-0
+    # labels must equal the downsampled second seed, not the original one
+    from radar_sounder_crw_tpu.infer.propagate import (
+        seed_onehot_from_segmentation,
+    )
+
+    _, seed2_labels = seed_onehot_from_segmentation(seg_ref2, geo.nh, 4)
+    np.testing.assert_array_equal(corrected.prediction[:, 0], seed2_labels)
     assert corrected.prediction.shape == (geo.nh, small_length)

@@ -106,8 +106,9 @@ def test_zero_embedding_row_keeps_gradients_finite():
 
 def test_jit_and_vmap_compose():
     rng = np.random.default_rng(3)
-    emb = jnp.asarray(rng.standard_normal((2, 6, 10, 8)).astype(np.float32))
+    embs = jnp.asarray(rng.standard_normal((3, 2, 6, 10, 8)).astype(np.float32))
     f = jax.jit(lambda e: crw_loss(e, 0.05)[0])
-    l1 = f(emb)
-    l2 = f(emb)  # cached path
-    np.testing.assert_allclose(float(l1), float(l2))
+    # vmap over an outer group axis must equal the per-group loop
+    vmapped = jax.jit(jax.vmap(lambda e: crw_loss(e, 0.05)[0]))(embs)
+    looped = np.asarray([float(f(e)) for e in embs])
+    np.testing.assert_allclose(np.asarray(vmapped), looped, rtol=1e-5)

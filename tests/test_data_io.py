@@ -74,7 +74,7 @@ def test_fixture_regeneration_is_deterministic(tmp_path):
     )
 
 
-def test_test_all_cli_on_real_fixture_no_synthetic():
+def test_test_all_cli_on_real_fixture_no_synthetic(tmp_path):
     """Full scripts/test_all.py CLI against the committed .pt fixture:
     the registry must never fall back to synthetic data (VERDICT r1 #8)."""
     import subprocess
@@ -87,7 +87,9 @@ def test_test_all_cli_on_real_fixture_no_synthetic():
         RSCRW_FORCE_CPU="1",
         JAX_PLATFORMS="",
     )
-    out_dir = os.path.join(repo, ".pytest_fixture_cli_out")
+    # tmp_path, NOT a persistent repo dir: stale artifacts from an earlier
+    # run must never satisfy the existence asserts below
+    out_dir = str(tmp_path / "fixture_cli_out")
     proc = subprocess.run(
         [
             _sys.executable, "scripts/test_all.py",

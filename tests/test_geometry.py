@@ -81,12 +81,20 @@ def test_trim_miguel_geometry():
     rg = np.arange(2 * W, dtype=np.float32).reshape(2, W)
     length, dim = 10, (16, 16)
     out = trim_miguel(rg, length, dim)
-    expect_w = sum((s // (dim[1] * length)) * dim[1] * length for s in splits)
+    unit = dim[1] * length
+    expect_w = sum((s // unit) * unit for s in splits)
     assert out.shape == (2, expect_w)
-    # first piece is passed through unchanged from the original offset
-    np.testing.assert_array_equal(out[:, :10], rg[:, :10])
-    # each trimmed piece width is a multiple of w*length
-    assert expect_w % (dim[1] * length) == 0
+    # every trimmed piece must be the HEAD of its split, copied verbatim
+    # from its absolute source offset (reference src/dataset.py:66-80)
+    src_off = dst_off = 0
+    for s in splits:
+        w_i = (s // unit) * unit
+        np.testing.assert_array_equal(
+            out[:, dst_off : dst_off + w_i], rg[:, src_off : src_off + w_i]
+        )
+        src_off += s
+        dst_off += w_i
+    assert dst_off == expect_w
 
 
 def test_flip_reverses_traces():

@@ -51,6 +51,10 @@ def compute():
 def test_core_ops_match_golden():
     got = compute()
     with np.load(GOLDEN) as golden:
+        # a stale/partial golden file must FAIL, not silently shrink coverage
+        assert set(golden.files) == set(got), (
+            f"golden keys {sorted(golden.files)} != computed {sorted(got)}"
+        )
         for key in golden.files:
             np.testing.assert_allclose(
                 got[key], golden[key], rtol=1e-5, atol=1e-6,

@@ -35,11 +35,24 @@ def setup_seq():
 
 
 def test_pos_embed_pipeline_runs_and_differs():
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.utils.pos_embed import maybe_pos_embed
+
     seq, ref = setup_seq()
     plain = make_pipe(use_pos_embed=False)(seq, ref)
     pe = make_pipe(use_pos_embed=True)(seq, ref)
     assert pe.prediction.shape == plain.prediction.shape
     assert np.isfinite(pe.xent).all()
+    # the added channel must really be the normalized vertical coordinate
+    # (reference src/utils.py:76-90: arange(H)/H - 0.5, channel order
+    # [pe, data]) — not an accidental zero channel the model also accepts
+    x = jnp.zeros((2, 16, 16, 1))
+    out = np.asarray(maybe_pos_embed(x, True))
+    assert out.shape == (2, 16, 16, 2)
+    ramp = np.arange(16, dtype=np.float32) / 16 - 0.5
+    np.testing.assert_allclose(out[0, :, 3, 0], ramp, atol=1e-6)
+    np.testing.assert_array_equal(out[..., 1], 0.0)
 
 
 def test_bn_train_mode_changes_resnet_outputs():

@@ -66,10 +66,14 @@ def test_use_last_seeds_from_far_end(trained_setup):
     seg_ref = seg[: geo.rg_h(), : geo.w]
     fwd = pipe(seq, seg_ref, use_last=False)
     rev = pipe(seq, seg_ref, use_last=True)
-    # reverse pass runs on the flipped sequence: frame 0 of rev corresponds
-    # to the LAST frame of fwd; its seed column equals the given seg_ref
-    np.testing.assert_array_equal(rev.prediction[:, 0], fwd.prediction[:, 0])
+    # use_last must equal running the pipeline on the manually time-flipped
+    # sequence (reference src/utils.py:108) — pins that the flip really
+    # happens, not just that frame 0 carries the seed
+    manual = pipe(np.asarray(seq)[::-1].copy(), seg_ref, use_last=False)
+    np.testing.assert_array_equal(rev.prediction, manual.prediction)
     assert rev.prediction.shape == fwd.prediction.shape
+    # and on this (asymmetric) radargram the reverse pass is not a no-op
+    assert not np.array_equal(rev.prediction, fwd.prediction)
 
 
 def test_correction_splice_geometry():
@@ -159,5 +163,6 @@ def test_change_detection_on_changed_radargram(trained_setup):
     pipe = make_pipeline(trainer)
     geo = ds2.geo
     res = pipe(ds2[0], seg2[: geo.rg_h(), : geo.w])
-    if res.change_idx is not None:
-        assert 0 <= res.change_idx <= 80
+    # the planted mid-line regime change MUST be detected, in the interior
+    assert res.change_idx is not None
+    assert 5 <= res.change_idx <= 75, f"change_idx {res.change_idx}"

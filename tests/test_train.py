@@ -101,16 +101,35 @@ def test_fit_epoch_order_advances_across_calls():
     resumed from a checkpointed step continues the schedule rather than
     restarting it."""
     ds = tiny_dataset()
+
+    class RecordingDataset:
+        """Observes which items each fit() call actually trains on."""
+
+        def __init__(self, inner):
+            self.inner, self.accessed = inner, []
+
+        def __len__(self):
+            return len(self.inner)
+
+        def __getitem__(self, i):
+            self.accessed.append(int(i))
+            return self.inner[i]
+
+    rec = RecordingDataset(ds)
     cfg = CRWTrainConfig(model=0, batch_size=4, epochs=1, lr=1e-3, tau=0.05)
     tr = CRWTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
-    tr.fit(ds, log=lambda s: None)
+    tr.init_state(ds[0].shape)  # else fit()'s implicit init records ds[0]
+    tr.fit(rec, log=lambda s: None)
     assert tr._epoch_idx == 1
-    tr.fit(ds, log=lambda s: None)
+    epoch0_order = list(rec.accessed)
+    rec.accessed.clear()
+    tr.fit(rec, log=lambda s: None)
     assert tr._epoch_idx == 2
-    # distinct permutations per epoch index (the property the counter buys)
-    p0 = np.random.default_rng([cfg.seed, 0]).permutation(len(ds))
-    p1 = np.random.default_rng([cfg.seed, 1]).permutation(len(ds))
-    assert not np.array_equal(p0, p1)
+    epoch1_order = list(rec.accessed)
+    # the trainer's ACTUAL item order must differ between the two epochs —
+    # not merely the counter advancing while the shuffle key stays fixed
+    assert sorted(epoch0_order) == sorted(epoch1_order)  # same items...
+    assert epoch0_order != epoch1_order  # ...different order
     # a fresh trainer restored mid-run infers its epoch position from the
     # optimizer step instead of replaying epoch 0
     tr2 = CRWTrainer(cfg, mesh=make_mesh(jax.devices()[:1]))
