@@ -78,6 +78,29 @@ def _push_frame(carry, q, pred):
     )
 
 
+def _topk_candidates(aff, knn):
+    """Exact top-knn over the flattened (K*N) candidate axis, computed as
+    per-slot top-k + a merge top-k.
+
+    Bit-equal to `lax.top_k(aff.reshape(K*N, Q).T, knn)` including tie
+    ordering: lax.top_k breaks ties toward the lower index, per-slot ranks
+    therefore order ties by within-slot index, and the merge's position
+    axis (slot-major) orders cross-slot ties by slot — which is exactly
+    global candidate-index order. Sorting K arrays of N beats one sort of
+    K*N (XLA lowers top_k to a sort on most backends).
+
+    aff: (K, N_src, N_q). Returns (vals (N_q, knn), idx (N_q, knn)) with
+    idx flat over slot*N_src + within_slot.
+    """
+    K, N, Q = aff.shape
+    ks = min(knn, N)  # per-slot winners; K*ks >= min(knn, K*N) always
+    per_query = aff.transpose(2, 0, 1)  # (Q, K, N)
+    v_s, i_s = jax.lax.top_k(per_query, ks)  # (Q, K, ks)
+    vals, pos = jax.lax.top_k(v_s.reshape(Q, K * ks), knn)
+    within = jnp.take_along_axis(i_s.reshape(Q, K * ks), pos, axis=1)
+    return vals, (pos // ks) * N + within
+
+
 def _prop_step(mask, temperature, knn, carry, q):
     """One frame of propagation. carry: ring buffer; q: (N, C) query feats."""
     feats, labels, valid, ptr = carry
@@ -95,8 +118,7 @@ def _prop_step(mask, temperature, knn, carry, q):
     aff = aff + mask[None, :, :] + ((1.0 - valid) * NEG_INVALID)[:, None, None]
     aff = aff / temperature
 
-    flat = aff.reshape(K * N, N).T  # (N_query, K*N candidates)
-    vals, idx = jax.lax.top_k(flat, knn)  # (N, knn)
+    vals, idx = _topk_candidates(aff, knn)  # (N_query, knn)
     w = jax.nn.softmax(vals, axis=-1)
 
     src_labels = labels.reshape(K * N, -1)[idx]  # (N, knn, M)
@@ -142,8 +164,7 @@ def _prop_step_chunked(mask_pad, chunk_ids, temperature, knn, qb, carry, q):
             precision=jax.lax.Precision.HIGHEST,
         )
         aff = (aff + mc[None, :, :] + slot_bias) / temperature
-        flat = aff.reshape(K * N, qb).T  # (qb, K*N candidates)
-        vals, idx = jax.lax.top_k(flat, knn)
+        vals, idx = _topk_candidates(aff, knn)  # (qb, knn)
         w = jax.nn.softmax(vals, axis=-1)
         return jnp.einsum(
             "nk,nkm->nm", w, labels_flat[idx],

@@ -158,6 +158,38 @@ def test_query_chunked_matches_plain(qb):
         )
 
 
+@pytest.mark.parametrize(
+    "K,N,Q,knn,dup",
+    [
+        (5, 7, 6, 4, False),
+        (3, 4, 5, 10, False),  # knn > per-slot N (and > some-slot coverage)
+        (4, 6, 6, 5, True),  # heavy ties: duplicated values across slots
+        (2, 3, 4, 6, True),  # knn == K*N exactly, with ties
+    ],
+)
+def test_two_stage_topk_bitequal_flat(K, N, Q, knn, dup):
+    """The per-slot + merge top-k must be BIT-equal to lax.top_k over the
+    flat candidate axis — values AND indices, including tie ordering (ties
+    resolve toward the lower global candidate index). Tie-heavy inputs
+    (duplicated values, masked -1e10 fills) exercise the ordering contract."""
+    import jax
+
+    from radar_sounder_crw_tpu.ops.labelprop import _topk_candidates
+
+    rng = np.random.default_rng(K * 100 + N)
+    aff = rng.standard_normal((K, N, Q)).astype(np.float32)
+    if dup:
+        # quantize so many exact ties occur, incl. across slots
+        aff = np.round(aff * 2) / 2
+        aff[1] = aff[0]  # whole duplicated slot
+    knn = min(knn, K * N)
+    flat = jnp.asarray(aff).reshape(K * N, Q).T
+    want_v, want_i = jax.lax.top_k(flat, knn)
+    got_v, got_i = _topk_candidates(jnp.asarray(aff), knn)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 def test_radius_mask_column_and_grid():
     m = radius_mask(6, 1, 2)
     want = np.where(
