@@ -66,7 +66,7 @@ DATASETS: dict[int, DatasetSpec] = {
     ),
 }
 
-_synth_cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+_synth_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _data_roots() -> list[str]:

@@ -106,11 +106,15 @@ def import_state_dict(state_dict: dict) -> dict:
                 _assign(variables[coll], path + (name,), arr)
             elif leaf == "weight":
                 if arr.ndim == 4 and path and path[-1].endswith("_up"):
-                    # ConvTranspose2d (in,out,kH,kW) -> flax (kH,kW,in,out)
+                    # ConvTranspose2d (in,out,kH,kW) -> flax (kH,kW,in,out),
+                    # PLUS a spatial flip: flax nn.ConvTranspose (default
+                    # transpose_kernel=False) is a fractionally-strided
+                    # cross-correlation y[si+k] += x[i]*w[K-1-k], while torch
+                    # ConvTranspose2d uses w[k] — verified numerically
                     _assign(
                         variables["params"],
                         path + ("kernel",),
-                        np.transpose(arr, (2, 3, 0, 1)),
+                        np.transpose(arr, (2, 3, 0, 1))[::-1, ::-1],
                     )
                 elif arr.ndim == 4:  # conv OIHW -> HWIO
                     _assign(
@@ -158,8 +162,9 @@ def export_state_dict(variables: dict) -> dict:
                 arr = np.asarray(val)
                 if key == "kernel":
                     if arr.ndim == 4 and path and path[-1].endswith("_up"):
-                        # flax ConvTranspose (kH,kW,in,out) -> torch (in,out,kH,kW)
-                        arr = np.transpose(arr, (2, 3, 0, 1))
+                        # flax ConvTranspose (kH,kW,in,out) -> torch
+                        # (in,out,kH,kW); undo the import-side spatial flip
+                        arr = np.transpose(arr[::-1, ::-1], (2, 3, 0, 1))
                     elif arr.ndim == 4:
                         arr = np.transpose(arr, (3, 2, 0, 1))
                     else:

@@ -242,7 +242,7 @@ def prop_step_pallas(
     lab = lab.reshape(k_pad * n_pad, m_pad).T  # (M_pad, K_pad*N_pad)
     sb = jnp.full((k_pad, 1), NEG_PAD, jnp.float32)
     sb = sb.at[:K, 0].set(slot_bias.astype(jnp.float32))
-    it = jnp.full((1, 1), temp, jnp.float32)
+    temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
     pred = pl.pallas_call(
         functools.partial(
@@ -270,5 +270,5 @@ def prop_step_pallas(
             vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
-    )(sb, it, f, q, mask, lab)
+    )(sb, temp_arr, f, q, mask, lab)
     return pred[:M, :N].T  # (N, M)

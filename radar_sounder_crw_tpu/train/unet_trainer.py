@@ -87,6 +87,7 @@ class UNetTrainer:
             self._infer_fn, in_shardings=(repl, bsh), out_shardings=bsh
         )
         self.state: UNetState | None = None
+        self._epoch_idx = 0  # global epoch counter driving shuffle order
 
     def _loss(self, logits, onehot, weights):
         if self.config.quirk_double_softmax:
@@ -152,29 +153,37 @@ class UNetTrainer:
         cfg = self.config
         if self.state is None:
             self.init_state(x.shape)
-        rng = np.random.default_rng(cfg.seed)
         history = []
         for epoch in range(cfg.epochs):
             t0 = time.time()
-            order = rng.permutation(len(x))
+            # shuffle keyed by (seed, global epoch index), counter persisted
+            # on the trainer — same policy as CRWTrainer.fit: one-epoch-per-
+            # fit callers get a fresh permutation each call
+            order = np.random.default_rng(
+                [cfg.seed, self._epoch_idx]
+            ).permutation(len(x))
+            self._epoch_idx += 1
             losses = []
             n_dev = self.mesh.devices.size
             bsh, repl = batch_sharding(self.mesh), replicated(self.mesh)
             for s in range(0, len(order), cfg.batch_size):
                 idx = order[s : s + cfg.batch_size]
-                bx, by = x[idx], y[idx]
+                bx = np.ascontiguousarray(x[idx], dtype=np.float32)
+                by = np.ascontiguousarray(y[idx], dtype=np.float32)
                 w = np.ones(len(bx), np.float32)
                 # partial batch: replicate unpadded (exact BN statistics)
-                # instead of padding with duplicated rows
+                # instead of padding with duplicated rows; device_put on the
+                # HOST arrays uploads each shard once (no default-device
+                # staging copy)
                 step, sh = (
                     (self._step, bsh) if len(bx) % n_dev == 0
                     else (self._step_repl, repl)
                 )
                 self.state, loss = step(
                     self.state,
-                    jax.device_put(jnp.asarray(bx), sh),
-                    jax.device_put(jnp.asarray(by), sh),
-                    jax.device_put(jnp.asarray(w), sh),
+                    jax.device_put(bx, sh),
+                    jax.device_put(by, sh),
+                    jax.device_put(w, sh),
                 )
                 losses.append(loss)
             epoch_loss = float(np.mean(jax.device_get(losses)))

@@ -1,6 +1,7 @@
 """ASHA tuner behavior + UNet trainer end-to-end on tiny synthetic strips."""
 
 import numpy as np
+import pytest
 
 from radar_sounder_crw_tpu.train.tune import run_asha, sample_configs
 from radar_sounder_crw_tpu.train.unet_trainer import (
@@ -312,13 +313,16 @@ def test_trial_checkpoint_bundles_loss_history(tmp_path):
     np.testing.assert_array_equal(t2.trainer.state["w"], np.ones((2,)) * 7)
 
 
-def test_unet_weight_import_matches_reference():
+@pytest.mark.parametrize("bilinear", [True, False])
+def test_unet_weight_import_matches_reference(bilinear):
     """Weights saved by the reference UNet (torch nn.Sequential naming:
     'inc.double_conv.0', 'down1.maxpool_conv.1.double_conv.3',
-    'up1.conv.double_conv.1', 'outc.conv' — reference src/unet.py) import
-    into this package's flax UNet and produce the same logits; the export
-    direction emits a state_dict the reference model accepts with no
-    unexpected keys."""
+    'up1.conv.double_conv.1', 'up1.up' (ConvTranspose branch), 'outc.conv'
+    — reference src/unet.py) import into this package's flax UNet and
+    produce the same logits; the export direction emits a state_dict the
+    reference model accepts with no unexpected keys. bilinear=False pins
+    the ConvTranspose layout AND the spatial kernel flip flax's
+    cross-correlation transpose needs vs torch's convolution transpose."""
     import jax
     import jax.numpy as jnp
     import pytest
@@ -336,7 +340,7 @@ def test_unet_weight_import_matches_reference():
     from radar_sounder_crw_tpu.models.unet import UNet
 
     ref_unet = import_reference("unet")
-    tnet = ref_unet.UNet(1, 5, bilinear=True)
+    tnet = ref_unet.UNet(1, 5, bilinear=bilinear)
     tnet.eval()
     with torch.no_grad():  # non-trivial running stats so eval BN matters
         for m in tnet.modules():
@@ -345,7 +349,7 @@ def test_unet_weight_import_matches_reference():
                 m.running_var.uniform_(0.5, 1.5)
 
     variables = import_state_dict(tnet.state_dict())
-    fnet = UNet(n_channels=1, n_classes=5, bilinear=True)
+    fnet = UNet(n_channels=1, n_classes=5, bilinear=bilinear)
     x = np.random.default_rng(0).standard_normal((2, 64, 32, 1)).astype(np.float32)
     ours = np.asarray(
         fnet.apply(
