@@ -60,6 +60,11 @@ class CRWTrainConfig:
     # 15.2 ms/step at the bench config); math is identical to k sequential
     # steps (tested). TPU-targeted: XLA:CPU compiles the scanned conv-grad
     # body pathologically slowly, so leave at 1 for CPU runs.
+    device_resident: bool | None = None  # build batches ON device by
+    # gathering windows from a once-uploaded radargram (kills the per-batch
+    # host->device window upload — the ~8x epoch-wall overhead of round 2).
+    # None = auto: on whenever the dataset serves windows of one radargram;
+    # False forces the host windowing path (e.g. radargram too large for HBM).
 
 
 class TrainState(struct.PyTreeNode):
@@ -169,6 +174,50 @@ class CRWTrainer:
         )
         self.state: TrainState | None = None
         self._epoch_idx = 0  # global epoch counter driving shuffle order
+        self._resident: tuple | None = None  # (geo, step, step_repl, multi)
+
+    def _resident_fns(self, geo):
+        """Jitted step variants that gather their batch from a device-resident
+        radargram: (state, rg, idx, weights) -> (state, loss). The only
+        per-step upload is the (B,) int32 index array."""
+        if self._resident is not None and self._resident[0] == geo:
+            return self._resident[1:]
+        from ..data.device_windows import gather_windows
+
+        def step_res(state, rg, idx, weights):
+            seq = gather_windows(rg, idx, geo)
+            return self._step_raw(state, seq, weights)
+
+        repl = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+        step = jax.jit(
+            step_res,
+            in_shardings=(repl, repl, bsh, bsh),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
+        step_repl = jax.jit(
+            step_res,
+            in_shardings=(repl, repl, repl, repl),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
+
+        def multi_res(state, rg, idxs, weights):
+            def body(st, xw):
+                return step_res(st, rg, xw[0], xw[1])
+
+            return jax.lax.scan(body, state, (idxs, weights))
+
+        mbsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        multi = jax.jit(
+            multi_res,
+            in_shardings=(repl, repl, mbsh, mbsh),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
+        self._resident = (geo, step, step_repl, multi)
+        return step, step_repl, multi
 
     # -- lifecycle -----------------------------------------------------------
     def init_state(self, example_item_shape) -> TrainState:
@@ -231,12 +280,41 @@ class CRWTrainer:
         # fit() call (the ASHA tuner) get a fresh permutation each epoch
         # instead of replaying epoch 0's order, and a resumed run continues
         # the schedule from where the restored optimizer step left off
+        # (epoch inference divides the restored step by THIS run's
+        # steps-per-epoch: resume assumes the same dataset length and batch
+        # size as the original run)
         steps_per_epoch = max(
             1, -(-len(dataset) // cfg.batch_size)
         )
         if self._epoch_idx == 0 and int(jax.device_get(self.state.step)) > 0:
             self._epoch_idx = int(jax.device_get(self.state.step)) // steps_per_epoch
+
+        # Device-resident windowing (auto unless disabled): upload the
+        # radargram once, gather every batch on-device from (B,) index
+        # arrays — the per-step host->device upload drops from ~B*T*N*h*w
+        # floats to B ints. Batches are bit-identical to the host path.
+        resident = None
+        if cfg.device_resident is not False:
+            from ..data.device_windows import resident_source
+
+            resident = resident_source(dataset)
+            if resident is None and cfg.device_resident is True:
+                raise ValueError(
+                    "device_resident=True needs a single-radargram window "
+                    "dataset (RGWindows or SubsetWindows)"
+                )
+        if resident is not None:
+            rg_host, geo, index_map = resident
+            rg_dev = jax.device_put(
+                jnp.asarray(rg_host, jnp.float32), replicated(self.mesh)
+            )
+            step_res, step_res_repl, multi_res = self._resident_fns(geo)
+
         history = []
+        n_dev = self.mesh.devices.size
+        bsh = batch_sharding(self.mesh)
+        repl = replicated(self.mesh)
+        mbsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
         for epoch in range(cfg.epochs):
             t0 = time.time()
             order = np.random.default_rng(
@@ -249,38 +327,67 @@ class CRWTrainer:
                 idxs = order[starts[si] : starts[si] + cfg.batch_size]
                 return np.stack([dataset[int(i)] for i in idxs])
 
+            def window_ids(si):
+                idxs = order[starts[si] : starts[si] + cfg.batch_size]
+                return index_map[idxs].astype(np.int32)
+
+            def stage_single(si):
+                """(args, step) for one batch, resident or host path."""
+                if resident is not None:
+                    ids = window_ids(si)
+                    full = len(ids) % n_dev == 0
+                    sh = bsh if full else repl
+                    w = jax.device_put(np.ones(len(ids), np.float32), sh)
+                    return (
+                        (rg_dev, jax.device_put(ids, sh), w),
+                        step_res if full else step_res_repl,
+                    )
+                seq, w, step = self._stage(host_batch(si))
+                return (seq, w), step
+
             losses = []
             k = max(1, int(cfg.steps_per_dispatch))
-            n_dev = self.mesh.devices.size
             if k > 1 and cfg.batch_size % n_dev == 0:
-                mbsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
                 si = 0
                 while si < len(starts):
                     kk = min(k, len(starts) - si)
-                    chunk = [host_batch(si + j) for j in range(kk)]
-                    if kk == k and all(len(b) == cfg.batch_size for b in chunk):
-                        seqs = jax.device_put(
-                            np.stack(chunk).astype(np.float32), mbsh
-                        )
+                    full_chunk = kk == k and all(
+                        len(order[starts[si + j] : starts[si + j] + cfg.batch_size])
+                        == cfg.batch_size
+                        for j in range(kk)
+                    )
+                    if full_chunk:
                         w = jax.device_put(
                             np.ones((k, cfg.batch_size), np.float32), mbsh
                         )
-                        self.state, ls = self._multi_step(self.state, seqs, w)
+                        if resident is not None:
+                            idxs = np.stack([window_ids(si + j) for j in range(k)])
+                            self.state, ls = multi_res(
+                                self.state, rg_dev, jax.device_put(idxs, mbsh), w
+                            )
+                        else:
+                            seqs = jax.device_put(
+                                np.stack(
+                                    [host_batch(si + j) for j in range(k)]
+                                ).astype(np.float32),
+                                mbsh,
+                            )
+                            self.state, ls = self._multi_step(self.state, seqs, w)
                         losses.extend([ls[j] for j in range(k)])
                         si += k
                     else:  # tail: plain per-batch steps
-                        for b in chunk:
-                            seq, weights, step = self._stage(b)
-                            self.state, loss = step(self.state, seq, weights)
+                        for j in range(kk):
+                            args, step = stage_single(si + j)
+                            self.state, loss = step(self.state, *args)
                             losses.append(loss)
                         si += kk
             else:
-                staged = self._stage(host_batch(0)) if starts else None
+                staged = stage_single(0) if starts else None
                 for si in range(len(starts)):
-                    seq, weights, step = staged
+                    args, step = staged
                     if si + 1 < len(starts):
-                        staged = self._stage(host_batch(si + 1))  # prefetch
-                    self.state, loss = step(self.state, seq, weights)
+                        staged = stage_single(si + 1)  # prefetch
+                    self.state, loss = step(self.state, *args)
                     losses.append(loss)
             epoch_loss = float(np.mean(jax.device_get(losses)))
             history.append(epoch_loss)
