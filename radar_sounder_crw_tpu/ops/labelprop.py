@@ -19,8 +19,12 @@ CXT_SIZE frames — with
 TPU-first design: the reference keeps a growing Python list of all past
 frames and trims inside the affinity op. Here the context is a fixed-size
 ring buffer carried through a single `jax.lax.scan` over frames — static
-shapes, fully on-device, jit/vmap/shard-compatible; slot 0 permanently holds
-frame 0, slots 1..CXT_SIZE hold the most recent frames.
+shapes, fully on-device, jit/vmap/shard-compatible. Slots [0, L) permanently
+pin the `long_mem` frames (L = len(cfg.long_mem); default (0,) = frame 0, the
+reference's only live configuration); slots [L, L+CXT_SIZE) are a circular
+window of the most recent frames. A pinned slot activates only once its
+frame has left the recent window, so each context frame contributes exactly
+once (see LabelPropConfig.long_mem).
 
 Known reference bug NOT reproduced: when t > CXT_SIZE+1 the reference trims
 the affinity rows but indexes the *untrimmed* label stack with trimmed
@@ -46,12 +50,25 @@ NEG_INVALID = -1e12  # empty ring slots: below every reference candidate
 
 @dataclasses.dataclass(frozen=True)
 class LabelPropConfig:
-    """cfg dict of the reference (labelprop.py:44-48 / test_all.py:63-68)."""
+    """cfg dict of the reference (labelprop.py:44-48 / test_all.py:63-68).
+
+    long_mem: frame indices pinned as long-term memory (reference API surface:
+    maskedatt.py:134-149 `context_index_bank` / the `long_mem` list of
+    `batched_affinity`; the reference's live path only ever passes [0],
+    labelprop.py:101, and its trim keeps exactly one long-term frame,
+    maskedatt.py:166-167). Generalized here: each listed frame's features and
+    predicted labels stay available forever. A pinned frame contributes ONCE:
+    while it is still inside the recent-`cxt_size` window it participates as a
+    recent frame, and its pinned slot activates only after it leaves the
+    window (the reference's first-frame+last-ctx concatenation would present
+    duplicate candidates for multi-frame lists — intended semantics built
+    instead, like the trim/label-misalignment fix above)."""
 
     cxt_size: int = 100
     radius: int = 10
     temperature: float = 0.1
     knn: int = 20
+    long_mem: tuple[int, ...] = (0,)
 
 
 def radius_mask(h: int, w: int, radius: float) -> np.ndarray:
@@ -63,19 +80,40 @@ def radius_mask(h: int, w: int, radius: float) -> np.ndarray:
     return np.where(np.sqrt(d2) < radius, 0.0, NEG_MASKED).astype(np.float32)
 
 
-def _push_frame(carry, q, pred):
-    """Push a frame's feats + predicted labels into the circular region
-    (slots 1..K-1; slot 0 permanently holds the seed frame). Shared by all
-    step variants so the ring policy lives in one place."""
-    feats, labels, valid, ptr = carry
-    K = feats.shape[0]
-    slot = 1 + jnp.mod(ptr, K - 1)
-    return (
-        feats.at[slot].set(q),
-        labels.at[slot].set(pred),
-        valid.at[slot].set(1.0),
-        ptr + 1,
-    )
+def _push_frame(long_mem, carry, q, pred):
+    """Push frame `t`'s feats + labels into the buffer. Layout: slots
+    [0, L) are pinned long-term frames (L = len(long_mem)); slots [L, L+cxt)
+    are a circular window of the last cxt frames (every frame is pushed,
+    including pinned ones — dedup happens in `_slot_validity`). Shared by
+    all step variants so the buffer policy lives in one place."""
+    feats, labels, ring_written, t = carry
+    L = len(long_mem)
+    cxt = feats.shape[0] - L
+    r = jnp.mod(t, cxt)
+    feats = feats.at[L + r].set(q)
+    labels = labels.at[L + r].set(pred)
+    ring_written = ring_written.at[r].set(1.0)
+    for j, fj in enumerate(long_mem):  # pin when its frame comes up
+        hit = t == fj
+        feats = feats.at[j].set(jnp.where(hit, q, feats[j]))
+        labels = labels.at[j].set(jnp.where(hit, pred, labels[j]))
+    return (feats, labels, ring_written, t + 1)
+
+
+def _slot_validity(long_mem, cxt, ring_written, t):
+    """(L+cxt,) 1/0 slot validity for the step predicting frame `t`.
+
+    Ring slots are valid once written (they hold exactly the last
+    min(t, cxt) frames). A pinned slot activates only after its frame has
+    left the recent window (t - frame > cxt), so every context frame
+    contributes exactly once. For long_mem=(0,) this selects exactly the
+    reference's context: all frames while t <= cxt+1, frame 0 + last cxt
+    after (maskedatt.py:166-167)."""
+    if not long_mem:
+        return ring_written
+    pins = jnp.asarray(long_mem, jnp.int32)
+    pin_valid = (t - pins > cxt).astype(jnp.float32)
+    return jnp.concatenate([pin_valid, ring_written])
 
 
 def _topk_candidates(aff, knn):
@@ -101,9 +139,10 @@ def _topk_candidates(aff, knn):
     return vals, (pos // ks) * N + within
 
 
-def _prop_step(mask, temperature, knn, carry, q):
+def _prop_step(mask, temperature, knn, long_mem, cxt, carry, q):
     """One frame of propagation. carry: ring buffer; q: (N, C) query feats."""
-    feats, labels, valid, ptr = carry
+    feats, labels, ring_written, t = carry
+    valid = _slot_validity(long_mem, cxt, ring_written, t)
     K, N, C = feats.shape
 
     # affinity of every context node to every query node (keys @ query^T):
@@ -127,10 +166,12 @@ def _prop_step(mask, temperature, knn, carry, q):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    return _push_frame(carry, q, pred), pred
+    return _push_frame(long_mem, carry, q, pred), pred
 
 
-def _prop_step_chunked(mask_pad, chunk_ids, temperature, knn, qb, carry, q):
+def _prop_step_chunked(
+    mask_pad, chunk_ids, temperature, knn, qb, long_mem, cxt, carry, q
+):
     """Query-chunked variant of _prop_step: the TPU-native slot of the
     reference's `mem_efficient_batched_affinity` (src/imported/
     maskedatt.py:177-207), which double-minibatches the affinity so the
@@ -148,7 +189,8 @@ def _prop_step_chunked(mask_pad, chunk_ids, temperature, knn, qb, carry, q):
 
     mask_pad ((N, ceil(N/qb)*qb), query columns padded NEG_MASKED) and
     chunk_ids are frame-invariant and bound once outside the scan."""
-    feats, labels, valid, ptr = carry
+    feats, labels, ring_written, t = carry
+    valid = _slot_validity(long_mem, cxt, ring_written, t)
     K, N, C = feats.shape
     n_pad = mask_pad.shape[1]
     q_pad = jnp.pad(q, ((0, n_pad - N), (0, 0)))
@@ -174,20 +216,60 @@ def _prop_step_chunked(mask_pad, chunk_ids, temperature, knn, qb, carry, q):
 
     preds = jax.lax.map(one_chunk, chunk_ids)
     pred = preds.reshape(n_pad, -1)[:N]
-    return _push_frame(carry, q, pred), pred
+    return _push_frame(long_mem, carry, q, pred), pred
 
 
-def _prop_step_fused(mask, temperature, knn, interpret, vmem_budget, carry, q):
-    """Fused-kernel variant of _prop_step (see labelprop_pallas.py)."""
-    from .labelprop_pallas import prop_step_pallas
+def _prop_step_fused(
+    mask_pad, temperature, knn, interpret, long_mem, cxt, kb, nblocks,
+    N, C, M, carry, q
+):
+    """Fused-kernel variant of _prop_step (see labelprop_pallas.py).
 
-    feats, labels, valid, _ = carry
-    slot_bias = (1.0 - valid) * NEG_INVALID
-    pred = prop_step_pallas(
-        feats, q, mask, labels, slot_bias, temperature, knn,
-        interpret=interpret, vmem_budget=vmem_budget,
-    )
-    return _push_frame(carry, q, pred), pred
+    The ring buffer is carried in the KERNEL's padded layout — feats as
+    (K_pad*N_pad, C_pad), labels transposed as (M_pad, K_pad*N_pad) — across
+    the whole scan, so the per-frame XLA work is two small pad ops and two
+    dynamic_update_slice writes instead of re-padding/copying the full
+    multi-MB context buffers every frame (round 2's dominant fixed cost,
+    ~0.3 ms/frame at the flagship configs)."""
+    from .labelprop_pallas import NEG_PAD, prop_step_pallas_prepadded
+
+    f2d, labT, ring_written, t = carry
+    n_pad = mask_pad.shape[0]
+    c_pad = f2d.shape[1]
+    L = len(long_mem)
+    K = L + cxt
+    valid = _slot_validity(long_mem, cxt, ring_written, t)
+    sb = jnp.full((nblocks * kb, 1), NEG_PAD, jnp.float32)
+    sb = sb.at[:K, 0].set((1.0 - valid) * NEG_INVALID)
+    qT = jnp.zeros((c_pad, n_pad), jnp.float32).at[:C, :N].set(q.T)
+    pred_pad = prop_step_pallas_prepadded(
+        f2d, qT, mask_pad, labT, sb, temperature, knn, kb, nblocks, interpret
+    )  # (M_pad, N_pad)
+    pred = pred_pad[:M, :N].T  # (N, M)
+
+    # push frame t — same buffer policy as _push_frame, padded layout.
+    # Padded query columns produce finite garbage predictions; zero them so
+    # the stored slot labels stay clean (they are never selected anyway:
+    # padded candidate rows carry NEG_PAD mask).
+    r = jnp.mod(t, cxt)
+    q_pad = jnp.zeros((n_pad, c_pad), jnp.float32).at[:N, :C].set(q)
+    pred_store = pred_pad.at[:, N:].set(0.0) if N < n_pad else pred_pad
+    f2d = jax.lax.dynamic_update_slice(f2d, q_pad, ((L + r) * n_pad, 0))
+    labT = jax.lax.dynamic_update_slice(labT, pred_store, (0, (L + r) * n_pad))
+    ring_written = ring_written.at[r].set(1.0)
+    for j, fj in enumerate(long_mem):  # pin when its frame comes up
+        hit = t == fj
+        old_f = jax.lax.dynamic_slice(f2d, (j * n_pad, 0), (n_pad, c_pad))
+        f2d = jax.lax.dynamic_update_slice(
+            f2d, jnp.where(hit, q_pad, old_f), (j * n_pad, 0)
+        )
+        old_l = jax.lax.dynamic_slice(
+            labT, (0, j * n_pad), (labT.shape[0], n_pad)
+        )
+        labT = jax.lax.dynamic_update_slice(
+            labT, jnp.where(hit, pred_store, old_l), (0, j * n_pad)
+        )
+    return (f2d, labT, ring_written, t + 1), pred
 
 
 @partial(
@@ -232,12 +314,20 @@ def propagate_labels(
     assert h * w == N, f"grid {h}x{w} != {N} nodes"
     if cfg.cxt_size < 1:
         raise ValueError("cxt_size must be >= 1 (need at least one recent-frame slot)")
+    long_mem = tuple(int(j) for j in cfg.long_mem)
+    if list(long_mem) != sorted(set(long_mem)) or (long_mem and long_mem[0] < 0):
+        raise ValueError(
+            f"long_mem must be strictly increasing non-negative frame "
+            f"indices, got {cfg.long_mem}"
+        )
     mask = jnp.asarray(radius_mask(h, w, cfg.radius))
 
-    K = cfg.cxt_size + 1
-    feats0 = jnp.zeros((K, N, C), emb.dtype).at[0].set(emb[0])
-    labels0 = jnp.zeros((K, N, M), jnp.float32).at[0].set(seed_labels)
-    valid0 = jnp.zeros((K,), jnp.float32).at[0].set(1.0)
+    L, cxt = len(long_mem), cfg.cxt_size
+    K = L + cxt
+    # push frame 0 (seed): ring slot L+0, plus any pin listing frame 0
+    pin0 = [j for j, fj in enumerate(long_mem) if fj == 0]
+    ring_written0 = jnp.zeros((cxt,), jnp.float32).at[0].set(1.0)
+    t0 = jnp.ones((), jnp.int32)
 
     knn = min(cfg.knn, K * N)  # top-k cannot exceed the candidate count
     if kernel == "auto":
@@ -262,29 +352,51 @@ def propagate_labels(
             )
             step = partial(
                 _prop_step_chunked, mask_pad, jnp.arange(n_pad_q // qb),
-                cfg.temperature, knn, qb,
+                cfg.temperature, knn, qb, long_mem, cxt,
             )
         else:
-            step = partial(_prop_step, mask, cfg.temperature, knn)
+            step = partial(_prop_step, mask, cfg.temperature, knn, long_mem, cxt)
+        feats0 = jnp.zeros((K, N, C), emb.dtype).at[L].set(emb[0])
+        labels0 = jnp.zeros((K, N, M), jnp.float32).at[L].set(seed_labels)
+        for j in pin0:
+            feats0 = feats0.at[j].set(emb[0])
+            labels0 = labels0.at[j].set(seed_labels)
+        carry0 = (feats0, labels0, ring_written0, t0)
+        xs = emb[1:]
     elif kernel in ("pallas", "pallas_interpret"):
         if query_block is not None:
             raise ValueError(
                 "query_block applies to the XLA path only (the fused kernel "
                 "bounds memory by tiling the context-slot axis instead)"
             )
+        from .labelprop_pallas import _round_up, pad_mask
+
+        kb = plan_blocks(K, N, C, M, knn, vmem_budget)
+        if kb is None:
+            raise ValueError(
+                f"no block size fits VMEM for K={K}, N={N}, C={C}, M={M}"
+            )
+        nblocks = -(-K // kb)
+        k_pad = nblocks * kb
+        n_pad, c_pad = _round_up(N, 128), _round_up(C, 128)
+        m_pad = _round_up(M, 8)
+        # padded-resident ring buffer (kernel layout; see _prop_step_fused)
+        emb0 = emb[0].astype(jnp.float32)
+        seedT = seed_labels.astype(jnp.float32).T
+        f2d0 = jnp.zeros((k_pad * n_pad, c_pad), jnp.float32)
+        labT0 = jnp.zeros((m_pad, k_pad * n_pad), jnp.float32)
+        for s in [L] + pin0:
+            f2d0 = f2d0.at[s * n_pad : s * n_pad + N, :C].set(emb0)
+            labT0 = labT0.at[:M, s * n_pad : s * n_pad + N].set(seedT)
         step = partial(
-            _prop_step_fused,
-            mask,
-            cfg.temperature,
-            knn,
-            kernel == "pallas_interpret",
-            vmem_budget,
+            _prop_step_fused, pad_mask(mask, N), cfg.temperature, knn,
+            kernel == "pallas_interpret", long_mem, cxt, kb, nblocks, N, C, M,
         )
+        carry0 = (f2d0, labT0, ring_written0, t0)
+        xs = emb[1:].astype(jnp.float32)
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
-    (_, _, _, _), soft_rest = jax.lax.scan(
-        step, (feats0, labels0, valid0, jnp.zeros((), jnp.int32)), emb[1:]
-    )
+    _, soft_rest = jax.lax.scan(step, carry0, xs)
     soft = jnp.concatenate([seed_labels[None], soft_rest], axis=0)
     return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
 

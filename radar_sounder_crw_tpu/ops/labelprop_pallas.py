@@ -2,37 +2,44 @@
 
 Fuses the whole per-frame propagation step of ops/labelprop.py —
   affinity matmul (MXU)  ->  radius/validity mask add  ->  temperature
-  ->  iterative top-k selection  ->  softmax over the k scores
-  ->  weighted soft-label gather (MXU)
+  ->  top-k selection  ->  softmax over the k scores
+  ->  weighted soft-label sum (MXU)
 — into a single kernel, eliminating the HBM round-trips of the (K*N, N)
 affinity matrix and XLA's general sort-based top_k. Inference-only (label
 propagation takes no gradients), so no custom VJP is needed.
 
-Tiling (replaces the round-1 all-resident kernel, whose VMEM ceiling
-excluded the MC3 config N=190, cxt=100 — reference scripts/test/test_mc3.py:20-33):
-the context-slot axis is split into blocks of `kb` slots; the grid runs the
-blocks sequentially on the core, each step computing its block's affinity,
-extracting the block's top-k by iterative max-extraction, then merging into
-a running global top-k kept in scratch (scratch persists across grid steps).
-The final step softmaxes the k global scores and emits the weighted label
-sum. Per-step VMEM is O(kb·N_pad·(C_pad+N_pad)) — `plan_blocks` picks the
-largest `kb` that fits the budget, so any (K, N) the XLA path serves now
-runs fused too.
+Two-phase grid (round 3; replaces the round-2 kernel whose extraction loop
+did one (M_pad, kb*N_pad) label matmul PER winner — knn low-occupancy MXU
+passes per block dominated the step):
+  phase 0 (one grid step per context-slot block): compute the block's
+    affinity, extract the block top-knn as (value, global flat index) pairs
+    by iterative max-extraction, merge into a running global top-k kept in
+    scratch. No label traffic or label math at all.
+  phase 1 (one grid step per block): softmax the global top-k once, scatter
+    the k weights into a sparse (kb*N_pad, N_pad) weight matrix W in scratch
+    (reusing the affinity buffer), and accumulate pred += labels_block @ W —
+    ONE label matmul per block instead of knn.
+Per-step VMEM is O(kb*N_pad*(C_pad+N_pad)) — `plan_blocks` picks the largest
+`kb` that fits the budget, so any (K, N) the XLA path serves runs fused too.
 
-Ordering/parity contract (bit-equal with jax.lax.top_k + softmax):
+Ordering/parity contract (bit-equal top-k with jax.lax.top_k + softmax):
   * within a block, extraction picks the lowest candidate index on ties;
   * the merge concatenates [running, block] in that order, so earlier blocks
     (lower global indices) win ties — global index order is preserved;
   * padded slot rows carry NEG_PAD bias and padded grid rows NEG_PAD mask,
     ranking strictly below every real (even radius-masked, -1e10) candidate,
     so they are only selected when knn exceeds the real candidate count —
-    exactly like the XLA path's masked fills.
+    exactly like the XLA path's masked fills (their softmax weight underflows
+    to 0, so they contribute nothing).
 
 Layout: context slots are padded to N_pad rows each, so the flat candidate
 axis is K_pad*N_pad — every per-slot slice is sublane-aligned, and the
 radius mask + per-slot validity bias are applied in-kernel from an
 (N_pad, N_pad) mask and a (K_pad, 1) slot-bias vector. Labels ride
 transposed as (M_pad, K_pad*N_pad) so the class axis sits on sublanes.
+Block index maps pin feats to their last block during phase 1 and labels to
+block 0 during phase 0, so neither input is re-streamed in the phase that
+does not use it.
 """
 
 from __future__ import annotations
@@ -84,16 +91,17 @@ def plan_blocks(
     c_pad = _round_up(C, 128)
     m_pad = _round_up(M, 8)
     knn_pad = _round_up(max(knn, 1), 8)
-    # fixed tensors: query, mask, running/block top-k state, merge transients
+    # fixed tensors: query, mask, pred, top-k state (block+global value/idx
+    # pairs + softmax weights), merge concat transients (values + indices)
     fixed = 4 * (
         c_pad * n_pad
         + n_pad * n_pad
-        + 2 * knn_pad * n_pad
-        + 2 * knn_pad * m_pad * n_pad
-        + 2 * knn_pad * (1 + m_pad) * n_pad  # concat values in the merge
+        + m_pad * n_pad
+        + 5 * knn_pad * n_pad
+        + 2 * 2 * knn_pad * n_pad
     )
-    # single-block fast path: with one grid step there is no block pipeline,
-    # so feats/labels are charged once (the round-1 all-resident regime)
+    # single-block fast path: one affinity matmul, no block pipeline, so
+    # feats/labels are charged once
     per_slot_single = 4 * n_pad * (c_pad + m_pad + n_pad)
     if fixed + K * per_slot_single <= budget_bytes:
         return K
@@ -105,104 +113,210 @@ def plan_blocks(
 
 
 def _prop_step_kernel(
-    slot_bias_ref,  # (K_pad, 1) SMEM: per-slot validity bias (scalar prefetch)
     temp_ref,  # (1, 1) SMEM: temperature
     feats_ref,  # (kb*N_pad, C_pad) this block's slot-padded context features
     query_ref,  # (C_pad, N_pad) current frame features, transposed
     mask_ref,  # (N_pad, N_pad) radius mask (+NEG_PAD on padding rows)
+    bias_ref,  # (kb*N_pad, 1) this block's per-candidate-row validity bias
     labels_ref,  # (M_pad, kb*N_pad) this block's transposed context soft labels
     pred_ref,  # out: (M_pad, N_pad) predicted soft labels
-    aff,  # scratch (kb*N_pad, N_pad)
+    aff,  # scratch (kb*N_pad, N_pad): affinity (phase 0) / weights W (phase 1)
     bvals,  # scratch (KNN_PAD, N_pad): block winners' scores
-    blab,  # scratch (KNN_PAD, M_pad, N_pad): block winners' label rows
+    bidx,  # scratch int32 (KNN_PAD, N_pad): block winners' global flat rows
     gvals,  # scratch (KNN_PAD, N_pad): running global winners
-    glab,  # scratch (KNN_PAD, M_pad, N_pad)
+    gidx,  # scratch int32 (KNN_PAD, N_pad)
+    wvals,  # scratch (KNN_PAD, N_pad): softmaxed global winner weights
     *,
     knn: int,
     n_pad: int,
     kb: int,
     nblocks: int,
 ):
-    pid = pl.program_id(0)
-
-    @pl.when(pid == 0)
-    def _init():
-        gvals[:] = jnp.full_like(gvals, -jnp.inf)
-        glab[:] = jnp.zeros_like(glab)
-
+    phase = pl.program_id(0)
+    blk = pl.program_id(1)
     kbn = kb * n_pad
-    # HIGHEST precision: plain f32 dots lower to bf16 MXU passes on TPU,
-    # which would shift affinities (and top-k membership) vs the XLA path
-    aff[:] = jnp.dot(
-        feats_ref[:],
-        query_ref[:],
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-    temp = temp_ref[0, 0]
-    mask = mask_ref[:]
-
-    def add_mask(k, _):
-        rows = pl.ds(k * n_pad, n_pad)
-        # divide (not multiply-by-reciprocal): bit-equal with the XLA
-        # path's `aff / temperature` — x*(1/t) differs by ulps for
-        # non-power-of-two temperatures, enough to flip top-k ties
-        aff[rows, :] = (
-            aff[rows, :] + mask + slot_bias_ref[pid * kb + k, 0]
-        ) / temp
-        return 0
-
-    jax.lax.fori_loop(0, kb, add_mask, 0)
-
-    # -- extract this block's top-knn by iterative max-extraction ----------
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (kbn, n_pad), 0)
 
-    def select_one(k, _):
-        a = aff[:]
-        m = jnp.max(a, axis=0, keepdims=True)  # (1, N_pad)
-        is_max = a == m
-        first = jnp.min(jnp.where(is_max, row_ids, kbn), axis=0, keepdims=True)
-        sel = (row_ids == first).astype(jnp.float32)  # one-hot (kbn, N_pad)
-        bvals[k, :] = m[0]
-        blab[k, :, :] = jax.lax.dot_general(
+    # ---- phase 0: affinity + block top-k (values/indices only) + merge ----
+    @pl.when(phase == 0)
+    def _find():
+        # HIGHEST precision: plain f32 dots lower to bf16 MXU passes on TPU,
+        # which would shift affinities (and top-k membership) vs the XLA path
+        a = jnp.dot(
+            feats_ref[:],
+            query_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        # mask + per-slot validity bias + temperature, ONE vectorized pass:
+        # the radius mask broadcasts over slots via a (kb, N_pad, N_pad)
+        # view, the bias rides as a per-row column. (Round-3 change: a
+        # per-slot fori_loop here cost ~kb serial vector ops per frame —
+        # the dominant fixed cost at kb ~ 100.) Divide (not multiply-by-
+        # reciprocal): bit-equal with the XLA path's `aff / temperature` —
+        # x*(1/t) differs by ulps for non-power-of-two temperatures,
+        # enough to flip top-k ties.
+        temp = temp_ref[0, 0]
+        a = a.reshape(kb, n_pad, n_pad) + mask_ref[:][None, :, :]
+        aff[:] = (a.reshape(kbn, n_pad) + bias_ref[:]) / temp
+
+        # extract this block's top-knn (value, global row) by iterative
+        # max-extraction; lowest row index wins ties. The previous winner's
+        # exclusion is fused into the next pass's read (one read + one write
+        # per pass instead of three reads), and the loop is unrolled (knn is
+        # static) so Mosaic can software-pipeline the passes.
+        prev_first = jnp.full((1, n_pad), -1, jnp.int32)
+        for k in range(knn):
+            a = jnp.where(row_ids == prev_first, NEG_SELECTED, aff[:])
+            if k < knn - 1:
+                aff[:] = a
+            m = jnp.max(a, axis=0, keepdims=True)  # (1, N_pad)
+            prev_first = jnp.min(
+                jnp.where(a == m, row_ids, kbn), axis=0, keepdims=True
+            )
+            bvals[k, :] = m[0]
+            bidx[k, :] = prev_first[0] + blk * kbn
+
+        if nblocks == 1:
+            # single block: block winners ARE the global winners
+            gvals[:] = bvals[:]
+            gidx[:] = bidx[:]
+        else:
+            @pl.when(blk == 0)
+            def _first_block():
+                gvals[:] = bvals[:]
+                gidx[:] = bidx[:]
+
+            @pl.when(blk > 0)
+            def _merge():
+                # merge block winners into the running global top-knn; concat
+                # order [running, block] keeps global index order on ties
+                cat_v = jnp.concatenate(
+                    [gvals[0:knn, :], bvals[0:knn, :]], axis=0
+                )
+                cat_i = jnp.concatenate(
+                    [gidx[0:knn, :], bidx[0:knn, :]], axis=0
+                )
+                cat_pos = jax.lax.broadcasted_iota(
+                    jnp.int32, (2 * knn, n_pad), 0
+                )
+                first = jnp.full((1, n_pad), -1, jnp.int32)
+                for j in range(knn):
+                    cat_v = jnp.where(cat_pos == first, NEG_SELECTED, cat_v)
+                    m = jnp.max(cat_v, axis=0, keepdims=True)
+                    first = jnp.min(
+                        jnp.where(cat_v == m, cat_pos, 2 * knn),
+                        axis=0, keepdims=True,
+                    )
+                    gvals[j, :] = m[0]
+                    gidx[j, :] = jnp.sum(
+                        jnp.where(cat_pos == first, cat_i, 0), axis=0
+                    )
+
+    # ---- phase 1: softmax once, scatter weights, one label matmul/block ----
+    @pl.when(phase == 1)
+    def _apply():
+        @pl.when(blk == 0)
+        def _softmax():
+            v = gvals[0:knn, :]
+            v = v - jnp.max(v, axis=0, keepdims=True)
+            e = jnp.exp(v)
+            wvals[0:knn, :] = e / jnp.sum(e, axis=0, keepdims=True)
+
+        # W[r, q] = sum_k w_k[q] * [global winner k of query q is row r of
+        # this block]; winners outside the block match no row. Unrolled and
+        # accumulated in registers per tile (single VMEM write of W).
+        w_acc = jnp.zeros((kbn, n_pad), jnp.float32)
+        for k in range(knn):
+            local = gidx[k : k + 1, :] - blk * kbn  # (1, N_pad)
+            w_k = wvals[k : k + 1, :]  # (1, N_pad)
+            w_acc = w_acc + jnp.where(row_ids == local, w_k, 0.0)
+        aff[:] = w_acc
+
+        contrib = jax.lax.dot_general(
             labels_ref[:],
-            sel,
+            aff[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (M_pad, N_pad)
-        aff[:] = jnp.where(sel > 0, NEG_SELECTED, a)
-        return 0
 
-    jax.lax.fori_loop(0, knn, select_one, 0)
+        @pl.when(blk == 0)
+        def _set():
+            pred_ref[:] = contrib
 
-    # -- merge block winners into the running global top-knn ---------------
-    # concat order [running, block] preserves global index order on ties
-    cat_v0 = jnp.concatenate([gvals[0:knn, :], bvals[0:knn, :]], axis=0)
-    cat_l = jnp.concatenate([glab[0:knn, :, :], blab[0:knn, :, :]], axis=0)
-    cat_ids = jax.lax.broadcasted_iota(jnp.int32, (2 * knn, n_pad), 0)
+        @pl.when(blk > 0)
+        def _acc():
+            pred_ref[:] = pred_ref[:] + contrib
 
-    def merge_one(j, cv):
-        m = jnp.max(cv, axis=0, keepdims=True)
-        first = jnp.min(
-            jnp.where(cv == m, cat_ids, 2 * knn), axis=0, keepdims=True
-        )
-        sel = (cat_ids == first).astype(jnp.float32)  # (2knn, N_pad)
-        gvals[j, :] = m[0]
-        glab[j, :, :] = jnp.sum(cat_l * sel[:, None, :], axis=0)
-        return jnp.where(sel > 0, NEG_SELECTED, cv)
 
-    jax.lax.fori_loop(0, knn, merge_one, cat_v0)
+def pad_mask(radius_mask_nn, N: int) -> jnp.ndarray:
+    """(N, N) additive radius mask -> (N_pad, N_pad) kernel layout (padded
+    candidate rows NEG_PAD, padded query columns 0). Frame-invariant: built
+    once outside the propagation scan."""
+    n_pad = _round_up(N, 128)
+    mask = jnp.full((n_pad, n_pad), NEG_PAD, jnp.float32)
+    return mask.at[:N, :].set(0.0).at[:N, :N].set(radius_mask_nn)
 
-    # -- final block: softmax the k winners, weighted label sum ------------
-    @pl.when(pid == nblocks - 1)
-    def _finalize():
-        v = gvals[0:knn, :]
-        v = v - jnp.max(v, axis=0, keepdims=True)
-        e = jnp.exp(v)
-        w = e / jnp.sum(e, axis=0, keepdims=True)  # (knn, N_pad)
-        pred_ref[:] = jnp.sum(w[:, None, :] * glab[0:knn, :, :], axis=0)
+
+def prop_step_pallas_prepadded(
+    f2d, qT, mask_pad, labT, sb_col, temp, knn: int, kb: int, nblocks: int,
+    interpret: bool = False,
+):
+    """Raw fused step on inputs ALREADY in kernel layout (the propagation
+    scan keeps its ring buffer in this layout, so no per-frame pad/copy):
+    f2d (K_pad*N_pad, C_pad); qT (C_pad, N_pad); mask_pad (N_pad, N_pad) from
+    `pad_mask`; labT (M_pad, K_pad*N_pad); sb_col (K_pad, 1) slot bias with
+    NEG_PAD on padded slots. Returns padded pred (M_pad, N_pad)."""
+    n_pad = mask_pad.shape[0]
+    c_pad = qT.shape[0]
+    m_pad = labT.shape[0]
+    k_pad = nblocks * kb
+    knn_pad = _round_up(knn, 8)
+    temp_arr = jnp.full((1, 1), temp, jnp.float32)
+    # per-slot bias -> per-candidate-row bias column (tiny: K_pad*N_pad ints)
+    bias_rows = jnp.broadcast_to(
+        sb_col.astype(jnp.float32), (k_pad, n_pad)
+    ).reshape(k_pad * n_pad, 1)
+
+    return pl.pallas_call(
+        functools.partial(
+            _prop_step_kernel, knn=knn, n_pad=n_pad, kb=kb, nblocks=nblocks
+        ),
+        grid=(2, nblocks),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
+            # feats: walk blocks in phase 0, stay on the last block in
+            # phase 1 (no re-streaming of an unused input)
+            pl.BlockSpec(
+                (kb * n_pad, c_pad),
+                lambda p, b: ((1 - p) * b + p * (nblocks - 1), 0),
+            ),
+            pl.BlockSpec((c_pad, n_pad), lambda p, b: (0, 0)),  # query
+            pl.BlockSpec((n_pad, n_pad), lambda p, b: (0, 0)),  # mask
+            pl.BlockSpec(
+                (kb * n_pad, 1),
+                lambda p, b: ((1 - p) * b + p * (nblocks - 1), 0),
+            ),  # bias rows (phase 0 only, like feats)
+            # labels: pinned to block 0 in phase 0, walk blocks in phase 1
+            pl.BlockSpec((m_pad, kb * n_pad), lambda p, b: (0, p * b)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, n_pad), lambda p, b: (0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((kb * n_pad, n_pad), jnp.float32),
+            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+            pltpu.VMEM((knn_pad, n_pad), jnp.int32),
+            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+            pltpu.VMEM((knn_pad, n_pad), jnp.int32),
+            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(temp_arr, f2d, qT, mask_pad, bias_rows, labT)
 
 
 @functools.partial(
@@ -212,7 +326,10 @@ def prop_step_pallas(
     feats, query, radius_mask_nn, labels, slot_bias, temp, knn: int,
     interpret: bool = False, vmem_budget: int | None = None,
 ):
-    """One fused propagation step.
+    """One fused propagation step on UNPADDED inputs (pads, calls the
+    pre-padded kernel, unpads — the standalone/test entry point; the
+    propagation scan uses `prop_step_pallas_prepadded` directly on a
+    padded-resident ring buffer).
 
     feats (K, N, C); query (N, C); radius_mask_nn (N, N) additive;
     labels (K, N, M); slot_bias (K,) additive per-slot validity bias
@@ -224,7 +341,6 @@ def prop_step_pallas(
     n_pad = _round_up(N, 128)
     c_pad = _round_up(C, 128)
     m_pad = _round_up(M, 8)
-    knn_pad = _round_up(knn, 8)
     kb = plan_blocks(K, N, C, M, knn, vmem_budget)
     if kb is None:
         raise ValueError(
@@ -236,39 +352,13 @@ def prop_step_pallas(
     f = jnp.zeros((k_pad, n_pad, c_pad), jnp.float32).at[:K, :N, :C].set(feats)
     f = f.reshape(k_pad * n_pad, c_pad)
     q = jnp.zeros((c_pad, n_pad), jnp.float32).at[:C, :N].set(query.T)
-    mask = jnp.full((n_pad, n_pad), NEG_PAD, jnp.float32)
-    mask = mask.at[:N, :].set(0.0).at[:N, :N].set(radius_mask_nn)
+    mask = pad_mask(radius_mask_nn, N)
     lab = jnp.zeros((k_pad, n_pad, m_pad), jnp.float32).at[:K, :N, :M].set(labels)
     lab = lab.reshape(k_pad * n_pad, m_pad).T  # (M_pad, K_pad*N_pad)
     sb = jnp.full((k_pad, 1), NEG_PAD, jnp.float32)
     sb = sb.at[:K, 0].set(slot_bias.astype(jnp.float32))
-    temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
-    pred = pl.pallas_call(
-        functools.partial(
-            _prop_step_kernel, knn=knn, n_pad=n_pad, kb=kb, nblocks=nblocks
-        ),
-        grid=(nblocks,),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # slot_bias (full)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
-            pl.BlockSpec((kb * n_pad, c_pad), lambda i: (i, 0)),  # feats block
-            pl.BlockSpec((c_pad, n_pad), lambda i: (0, 0)),  # query
-            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0)),  # mask
-            pl.BlockSpec((m_pad, kb * n_pad), lambda i: (0, i)),  # labels blk
-        ],
-        out_specs=pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((kb * n_pad, n_pad), jnp.float32),
-            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
-            pltpu.VMEM((knn_pad, m_pad, n_pad), jnp.float32),
-            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
-            pltpu.VMEM((knn_pad, m_pad, n_pad), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20,
-        ),
-        interpret=interpret,
-    )(sb, temp_arr, f, q, mask, lab)
+    pred = prop_step_pallas_prepadded(
+        f, q, mask, lab, sb, temp, knn, kb, nblocks, interpret
+    )
     return pred[:M, :N].T  # (N, M)

@@ -203,3 +203,58 @@ def test_radius_mask_column_and_grid():
             ya, xa, yb, xb = a // 4, a % 4, b // 4, b % 4
             d = ((ya - yb) ** 2 + (xa - xb) ** 2) ** 0.5
             assert m2[a, b] == (0.0 if d < 1.5 else -1e10)
+
+
+def test_long_mem_kernel_paths_agree():
+    """Generalized pinned memory: xla, query-chunked and interpret-mode
+    fused kernels agree through pin-activation transitions."""
+    T, N, C, M = 14, 10, 8, 4
+    emb = random_emb(T, N, C, seed=21)
+    seed = onehot_seed(N, M, seed=21)
+    cfg = LabelPropConfig(
+        cxt_size=3, radius=4, temperature=0.07, knn=5, long_mem=(0, 2, 6)
+    )
+    s_x, p_x = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla")
+    s_c, p_c = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla", query_block=4
+    )
+    s_p, p_p = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, None, "pallas_interpret"
+    )
+    np.testing.assert_allclose(np.asarray(s_c), np.asarray(s_x), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x), rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(p_c), np.asarray(p_x))
+    np.testing.assert_array_equal(np.asarray(p_p), np.asarray(p_x))
+
+
+def test_long_mem_pin_changes_result_when_out_of_window():
+    """Pinning a mid-sequence frame must change predictions after that frame
+    leaves the recent window (i.e. the pin is actually consulted)."""
+    T, N, C, M = 14, 10, 8, 4
+    emb = random_emb(T, N, C, seed=22)
+    seed = onehot_seed(N, M, seed=22)
+    base = dict(cxt_size=3, radius=100, temperature=0.07, knn=5)
+    s0, _ = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed),
+        LabelPropConfig(**base, long_mem=(0,)), None, "xla",
+    )
+    s1, _ = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed),
+        LabelPropConfig(**base, long_mem=(0, 5)), None, "xla",
+    )
+    # identical until frame 5 leaves the window (t <= 5+cxt): first diff after
+    np.testing.assert_allclose(
+        np.asarray(s1[: 5 + 3 + 1]), np.asarray(s0[: 5 + 3 + 1]), rtol=1e-6
+    )
+    assert not np.allclose(np.asarray(s1), np.asarray(s0))
+
+
+def test_long_mem_validation():
+    emb = jnp.asarray(random_emb(4, 6, 8, seed=1))
+    seed = jnp.asarray(onehot_seed(6, 3, seed=1))
+    for bad in [(2, 1), (0, 0), (-1,)]:
+        with pytest.raises(ValueError, match="long_mem"):
+            propagate_labels(
+                emb, seed,
+                LabelPropConfig(cxt_size=2, long_mem=bad), None, "xla",
+            )

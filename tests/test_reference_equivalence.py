@@ -90,3 +90,81 @@ def test_ours_matches_upstream_labelprop(T, ctx, radius, temp, knn):
     soft, pred = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla")
     np.testing.assert_allclose(np.asarray(soft), want, rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(pred), want.argmax(-1))
+
+
+def run_reference_labelprop_longmem(
+    emb, seed_onehot, cxt, radius, temp, knn, long_mem
+):
+    """Upstream per-step math on OUR generalized context selection: drive the
+    upstream predict() per frame, feeding it exactly the context set our
+    pinned ring buffer selects (active pins + last-cxt recent frames, each
+    frame once, chronological). CXT_SIZE is set beyond T so the upstream trim
+    (which only supports one long-term frame, maskedatt.py:166-167) never
+    fires — this isolates the affinity/topk/softmax/weighted-sum math."""
+    import torch
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from imported.labelprop import LabelPropVOS_CRW  # noqa: E402
+
+    orig_to = torch.Tensor.to
+
+    def patched_to(self, *args, **kwargs):
+        args = tuple("cpu" if a == "cuda" else a for a in args)
+        if kwargs.get("device") == "cuda":
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = patched_to
+    try:
+        T, N, C = emb.shape
+        lp = LabelPropVOS_CRW(
+            {"CXT_SIZE": T + cxt + 8, "RADIUS": radius, "TEMP": temp, "KNN": knn}
+        )
+        all_feats = [torch.tensor(emb[t].T[None, :, :, None]) for t in range(T)]
+        all_masks = [torch.tensor(seed_onehot.T[None, :, :, None])]
+        preds = [seed_onehot.copy()]
+        for t in range(1, T):
+            pins = [j for j in long_mem if j < t and t - j > cxt]
+            recent = list(range(max(0, t - cxt), t))
+            ctx_ids = pins + recent
+            mask = lp.predict(
+                feats=[all_feats[j] for j in ctx_ids],
+                masks=[all_masks[j] for j in ctx_ids],
+                curr_feat=all_feats[t],
+            )
+            all_masks.append(mask)
+            preds.append(mask[0, :, :, 0].T.numpy())
+        return np.stack(preds)
+    finally:
+        torch.Tensor.to = orig_to
+
+
+@pytest.mark.parametrize("long_mem", [(0, 2, 5), (1, 3), ()])
+def test_long_mem_matches_upstream_math(long_mem):
+    """Generalized long-term memory (VERDICT r2 #7): multi-frame pinned
+    context agrees with the upstream per-step math on the same context set,
+    through pin-activation transitions (T spans t <= cxt, the window edge,
+    and t > max(long_mem)+cxt)."""
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.ops.labelprop import (
+        LabelPropConfig,
+        propagate_labels,
+    )
+
+    T, N, C, M, cxt, radius, temp, knn = 16, 14, 24, 4, 4, 5, 0.07, 6
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seed = np.eye(M, dtype=np.float32)[rng.integers(0, M, N)]
+
+    want = run_reference_labelprop_longmem(
+        emb, seed, cxt, radius, temp, knn, long_mem
+    )
+    cfg = LabelPropConfig(
+        cxt_size=cxt, radius=radius, temperature=temp, knn=knn, long_mem=long_mem
+    )
+    soft, pred = propagate_labels(jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla")
+    np.testing.assert_allclose(np.asarray(soft), want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(pred), want.argmax(-1))
