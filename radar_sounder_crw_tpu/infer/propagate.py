@@ -123,7 +123,7 @@ def _encode_propagate_single(
     xent = horizontality_xent(emb, xent_tau, quirk_channel_shift=xent_quirk)
     soft, pred = propagate_labels(emb, seed, cfg, None, kernel)
     sig = column_diffs(xent) if compute_sig else None
-    return soft, pred, xent, sig
+    return soft, pred, xent, sig, emb
 
 
 def seed_onehot_from_segmentation(seg_ref: np.ndarray, n_nodes: int, nclasses: int):
@@ -158,6 +158,7 @@ class PropagationPipeline:
         self.xent_tau = xent_tau
         self.xent_quirk = xent_quirk
         self.pelt_pen = pelt_pen
+        self._cache: dict | None = None  # last __call__'s embeddings (reseed)
 
     def encode(self, seq) -> jnp.ndarray:
         return encode_sequence(
@@ -187,7 +188,7 @@ class PropagationPipeline:
 
         seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
         compute_sig = detect_change and T >= 4
-        soft, pred, xent, sig = _encode_propagate_single(
+        soft, pred, xent, sig, emb = _encode_propagate_single(
             self.model, self.variables, seq, jnp.asarray(seed), self.lp_cfg,
             self.use_pos_embed, self.bn_train_mode, "auto", self.xent_tau,
             self.xent_quirk, compute_sig,
@@ -205,11 +206,59 @@ class PropagationPipeline:
                 np.asarray(fetched[2]), pen=self.pelt_pen
             )
 
+        # cache the device-resident embeddings + the host prediction so
+        # `reseed` can rerun propagation alone (interactive re-seeding)
+        self._cache = {
+            "emb": emb,
+            "use_last": use_last,
+            "prediction": np.asarray(pred_h).T.astype(np.int32),
+            "xent": np.asarray(xent_h),
+        }
+
         return PropagateResult(
             prediction=np.asarray(pred_h).T.astype(np.int32),  # (N, T)
             xent=np.asarray(xent_h),
             change_idx=change_idx,
             soft=np.asarray(fetched[-1]) if return_soft else None,
+        )
+
+    def reseed(self, seg_ref, frame_idx: int = 0) -> PropagateResult:
+        """Interactive re-seeding: propagate a NEW seed from `frame_idx` on,
+        reusing the cached device-resident embeddings of the last __call__ —
+        only the propagation scan (+ one host fetch) reruns, not the encoder.
+        The reference recomputes the encoder on every propagate() call
+        (reference: src/utils.py:111-115); an annotator refining seeds pays
+        seed->map latency dominated by that encode, so the cache makes
+        re-seeding ~propagation-only.
+
+        seg_ref: seed segmentation patch covering frame `frame_idx`'s pixels
+        (in the orientation of the cached call — if it used use_last=True the
+        cached sequence is time-flipped and frame_idx counts flipped frames).
+        Frames before `frame_idx` keep the cached call's prediction (the
+        correction-splice semantics, reference: scripts/test/test.py:76-85).
+
+        Returns a PropagateResult whose prediction is the spliced (N, T) map;
+        xent is the cached metric (embeddings are unchanged by re-seeding);
+        change_idx is None (detection belongs to the original call).
+        """
+        cache = getattr(self, "_cache", None)
+        if cache is None:
+            raise RuntimeError("reseed() needs a prior __call__ on this pipeline")
+        emb = cache["emb"]
+        T, N, _ = emb.shape
+        if not 0 <= frame_idx < T - 1:
+            raise ValueError(f"frame_idx {frame_idx} out of range for T={T}")
+        seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
+        # device-side tail slice; one compile per distinct tail length
+        # (an interactive session reuses a handful of lengths)
+        _, pred = propagate_labels(
+            emb[frame_idx:], jnp.asarray(seed), self.lp_cfg, None, "auto"
+        )
+        tail = np.asarray(jax.device_get(pred)).T.astype(np.int32)  # (N, T-f)
+        full = cache["prediction"].copy()
+        full[:, frame_idx:] = tail
+        return PropagateResult(
+            prediction=full, xent=cache["xent"], change_idx=None, soft=None
         )
 
     def prediction_to_pixels(self, prediction: np.ndarray, out_hw: tuple[int, int]):
@@ -239,9 +288,17 @@ class PropagationPipeline:
         """
         from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple
 
-        seqs = np.asarray(seqs, np.float32)
-        if use_last:
-            seqs = seqs[:, ::-1].copy()
+        pre_staged = isinstance(seqs, jax.Array)
+        if pre_staged:
+            # device-resident input (staged once by a benchmark or an
+            # interactive survey session): flip/pad on device, no re-upload
+            seqs = jnp.asarray(seqs, jnp.float32)
+            if use_last:
+                seqs = seqs[:, ::-1]
+        else:
+            seqs = np.asarray(seqs, np.float32)
+            if use_last:
+                seqs = seqs[:, ::-1].copy()
         R, T, N, _, _ = seqs.shape
         mesh = make_mesh() if mesh is None else mesh
 
@@ -251,7 +308,17 @@ class PropagationPipeline:
                 for sr in seg_refs
             ]
         )
-        seqs_p, real = pad_to_multiple(seqs, mesh.devices.size)
+        if pre_staged:
+            real = R
+            rem = (-R) % mesh.devices.size
+            if rem:
+                seqs_p = jnp.concatenate(
+                    [seqs, jnp.repeat(seqs[-1:], rem, axis=0)]
+                )
+            else:
+                seqs_p = seqs
+        else:
+            seqs_p, real = pad_to_multiple(seqs, mesh.devices.size)
         seeds_p, _ = pad_to_multiple(seeds, mesh.devices.size)
         bsh = batch_sharding(mesh)
         seqs_d = jax.device_put(jnp.asarray(seqs_p), bsh)

@@ -156,10 +156,10 @@ def main(args):
     if args.correction:
         print("\nCorrection step")
         print("Change point for each radargram:", change_list)
+        tasks = []  # (t, pixel_offset, seq (T',N,h,w), seg_ref)
         for t, change_idx in enumerate(change_list):
             if change_idx is None or change_idx >= args.seq_length - 1:
                 continue
-            print("Radargram", t)
             try:
                 small_length = args.seq_length - change_idx
                 pixel_offset = correction_pixel_offset(small_length, patch[1], overlap[1])
@@ -173,20 +173,45 @@ def main(args):
                     # (reference: scripts/test/test_all.py:114)
                     seq = dataset.get_smaller_item(rg_idx_list[t], small_length)
                 c0 = rg_len * t + rg_len - pixel_offset
-                seg_ref = seg[:, c0 : c0 + W]
-                corrected = pipe(seq, seg_ref)
-                seg_list[t] = splice_correction(
-                    seg_list[t], corrected.prediction, pixel_offset
-                )
-                if not args.no_plots:
-                    plot_segmentation(
-                        seg_list[t],
-                        save=os.path.join(args.output_folder, f"im{t}c.png"),
-                        seg=seg[:, rg_len * t : rg_len * t + rg_len],
-                        dataset=args.dataset,
-                    )
+                tasks.append((t, pixel_offset, seq, seg[:, c0 : c0 + W]))
             except Exception as e:  # reference swallows failures here too
-                print(f"  correction failed: {e}")
+                print(f"  correction prep failed for radargram {t}: {e}")
+
+        def apply_correction(t, pixel_offset, pred):
+            seg_list[t] = splice_correction(seg_list[t], pred, pixel_offset)
+            if not args.no_plots:
+                plot_segmentation(
+                    seg_list[t],
+                    save=os.path.join(args.output_folder, f"im{t}c.png"),
+                    seg=seg[:, rg_len * t : rg_len * t + rg_len],
+                    dataset=args.dataset,
+                )
+
+        if args.batched and tasks:
+            # one sharded device program per distinct correction length
+            # (radargrams bucketed by small_length -> bounded compile shapes)
+            groups: dict[int, list] = {}
+            for task in tasks:
+                groups.setdefault(task[2].shape[0], []).append(task)
+            for T_small, group in sorted(groups.items()):
+                print(f"Correction batch: {len(group)} radargram(s), T'={T_small}")
+                try:
+                    preds = pipe.propagate_batch(
+                        np.stack([g[2] for g in group]),
+                        [g[3] for g in group],
+                    )
+                    for (t, pixel_offset, _, _), pred in zip(group, preds):
+                        apply_correction(t, pixel_offset, pred)
+                except Exception as e:
+                    print(f"  correction batch failed: {e}")
+        else:
+            for t, pixel_offset, seq, seg_ref in tasks:
+                print("Radargram", t)
+                try:
+                    corrected = pipe(seq, seg_ref, detect_change=False)
+                    apply_correction(t, pixel_offset, corrected.prediction)
+                except Exception as e:
+                    print(f"  correction failed: {e}")
 
     final_pred = np.concatenate(seg_list, axis=1)
     np.save(os.path.join(args.output_folder, "predicted_map.npy"), final_pred.astype(np.int8))
@@ -206,14 +231,26 @@ def main(args):
     if args.use_last:
         print("Reversed step\n")
         seg_rev = reverse_unfold_flip(seg, rg_len)
+        rev_seg_refs = [
+            seg_rev[:, rg_len * t : rg_len * t + W]
+            for t in range(len(rg_idx_list))
+        ]
         rev_list = []
-        for t, idx in enumerate(rg_idx_list):
-            print("Radargram", t)
-            seq = dataset[idx]
-            seg_ref = seg_rev[:, rg_len * t : rg_len * t + W]
-            res = pipe(seq, seg_ref, use_last=True)
-            pred_px = pipe.prediction_to_pixels(res.prediction, (seg.shape[0], rg_len))
-            rev_list.append(pred_px)
+        if args.batched:
+            # same sharded device program as the forward pass, time-flipped
+            seqs = np.stack([dataset[i] for i in rg_idx_list])
+            rev_preds = pipe.propagate_batch(seqs, rev_seg_refs, use_last=True)
+            for t in range(len(rg_idx_list)):
+                rev_list.append(
+                    pipe.prediction_to_pixels(rev_preds[t], (seg.shape[0], rg_len))
+                )
+        else:
+            for t, idx in enumerate(rg_idx_list):
+                print("Radargram", t)
+                res = pipe(dataset[idx], rev_seg_refs[t], use_last=True)
+                rev_list.append(
+                    pipe.prediction_to_pixels(res.prediction, (seg.shape[0], rg_len))
+                )
         rev_map = reverse_unfold_flip(np.concatenate(rev_list, axis=1), rg_len)
         if args.dataset in (0, 3):
             mask = rev_map.ravel() == 2

@@ -166,3 +166,59 @@ def test_change_detection_on_changed_radargram(trained_setup):
     # the planted mid-line regime change MUST be detected, in the interior
     assert res.change_idx is not None
     assert 5 <= res.change_idx <= 75, f"change_idx {res.change_idx}"
+
+
+def test_reseed_matches_fresh_call():
+    """reseed(seg, 0) must reproduce the original call's map without
+    re-encoding; reseed(seg, k) keeps frames < k and re-propagates the tail
+    from the cached embeddings (VERDICT r2 #4: interactive re-seeding)."""
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.infer import PropagationPipeline
+    from radar_sounder_crw_tpu.infer.propagate import (
+        encode_sequence,
+        seed_onehot_from_segmentation,
+    )
+    from radar_sounder_crw_tpu.models import create_model
+    from radar_sounder_crw_tpu.ops import LabelPropConfig
+    from radar_sounder_crw_tpu.ops.labelprop import propagate_labels
+
+    import jax
+
+    T, N, hw, M = 10, 12, (8, 8), 4
+    rng = np.random.default_rng(3)
+    seq = rng.standard_normal((T, N, *hw)).astype(np.float32)
+    seg = rng.integers(0, M, (N * hw[0], hw[1]))
+    model = create_model(0, False)
+    variables = dict(
+        model.init(jax.random.PRNGKey(0), jnp.zeros((1, *hw, 1)), train=False)
+    )
+    pipe = PropagationPipeline(
+        model, variables, LabelPropConfig(cxt_size=6, radius=4, knn=5),
+        nclasses=M,
+    )
+    with pytest.raises(RuntimeError, match="prior __call__"):
+        pipe.reseed(seg)
+
+    res = pipe(seq, seg, detect_change=False)
+    re0 = pipe.reseed(seg, 0)
+    np.testing.assert_array_equal(re0.prediction, res.prediction)
+    np.testing.assert_allclose(re0.xent, res.xent)
+
+    # mid-sequence reseed with a different seed: prefix kept, tail equals
+    # propagation on the cached embeddings' tail
+    seg2 = rng.integers(0, M, (N * hw[0], hw[1]))
+    k = 4
+    rek = pipe.reseed(seg2, k)
+    np.testing.assert_array_equal(rek.prediction[:, :k], res.prediction[:, :k])
+    emb = encode_sequence(model, variables, jnp.asarray(seq), False, False)
+    seed2, _ = seed_onehot_from_segmentation(seg2, N, M)
+    _, tail = propagate_labels(
+        emb[k:], jnp.asarray(seed2), pipe.lp_cfg, None, "auto"
+    )
+    np.testing.assert_array_equal(
+        rek.prediction[:, k:], np.asarray(tail).T.astype(np.int32)
+    )
+
+    with pytest.raises(ValueError, match="frame_idx"):
+        pipe.reseed(seg, T - 1)
