@@ -11,6 +11,13 @@ Emits ONE JSON line PER metric {"metric", "value", "unit", "vs_baseline", ...}:
      PropagationPipeline (encode + xent + seed + 100-frame fused propagation)
      at the reference test_all defaults (T=100, N=113, cxt 100, knn 20;
      reference timing hook scripts/test/test_all.py:182).
+  3. propagation_latency_ms_mc3 — the same pipeline at the MC3 flagship
+     config (N=190, 32x32 patches, radius 60; reference
+     scripts/test/test_mc3.py:20-33).
+  4. full_survey_radargrams_per_sec — batched propagation over every
+     stride-T window of the synthetic Miguel flight line in ONE sharded
+     device program (BASELINE.json config 5), windows gathered on-device
+     from a once-uploaded radargram.
 
 vs_baseline is honest: null unless BASELINE.md records a measured anchor —
 `reference_train_steps_per_sec` / `reference_propagation_ms` (reference GPU,
@@ -189,9 +196,7 @@ def bench_train():
     )
 
 
-def bench_propagation():
-    import time
-
+def _propagation_config(T, N, hw, nclasses, radius, temp):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -200,21 +205,30 @@ def bench_propagation():
     from radar_sounder_crw_tpu.models import create_model
     from radar_sounder_crw_tpu.ops import LabelPropConfig
 
-    T, N, hw = 100, 113, (16, 16)
     rng = np.random.default_rng(7)
     seq = rng.standard_normal((T, N, *hw)).astype(np.float32)
-    seg = (np.arange(N * hw[0])[:, None] * 5 // (N * hw[0])) * np.ones(
-        (1, hw[1]), np.int64
-    )
+    seg = (
+        np.arange(N * hw[0])[:, None] * nclasses // (N * hw[0])
+    ) * np.ones((1, hw[1]), np.int64)
     model = create_model(1, False, dtype=jnp.bfloat16)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, *hw, 1), jnp.bfloat16), train=False
     )
     pipe = PropagationPipeline(
         model, dict(variables),
-        LabelPropConfig(cxt_size=100, radius=10, temperature=0.1, knn=20),
-        nclasses=5,
+        LabelPropConfig(cxt_size=100, radius=radius, temperature=temp, knn=20),
+        nclasses=nclasses,
     )
+    return pipe, seq, seg
+
+
+def _bench_seed_to_map(metric, unit, anchors, T, N, hw, nclasses, radius, temp):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    pipe, seq, seg = _propagation_config(T, N, hw, nclasses, radius, temp)
     # pre-stage the radargram on device once: the metric is pipeline latency,
     # not host link bandwidth (the axon tunnel uploads at ~5 MB/s; a real TPU
     # host feeds over PCIe). Result fetches stay inside the timed region —
@@ -228,15 +242,103 @@ def bench_propagation():
     dt = (time.perf_counter() - t0) / iters
     assert res.prediction.shape == (N, T)
     ms = dt * 1e3
-    print(f"propagation {ms:.1f} ms (T={T}, N={N})", file=sys.stderr)
+    print(f"{metric} {ms:.1f} ms (T={T}, N={N})", file=sys.stderr)
 
-    anchor, kind = read_anchor(
-        "reference_propagation_ms", "reference_cpu_torch_propagation_ms"
-    )
-    emit(
-        "propagation_latency_ms", ms,
+    anchor, kind = read_anchor(*anchors)
+    emit(metric, ms, unit, anchor / ms if anchor else None, kind)
+
+
+def bench_propagation():
+    _bench_seed_to_map(
+        "propagation_latency_ms",
         "ms seed->map (encode+xent+propagate, T=100, N=113, bf16 encoder)",
-        anchor / ms if anchor else None, kind,
+        ("reference_propagation_ms", "reference_cpu_torch_propagation_ms"),
+        T=100, N=113, hw=(16, 16), nclasses=5, radius=10, temp=0.1,
+    )
+
+
+def bench_propagation_mc3():
+    """MC3 flagship config (reference scripts/test/test_mc3.py:20-33 —
+    32x32 patches, overlap (30,0) -> N=190, radius 60, temp 0.01)."""
+    _bench_seed_to_map(
+        "propagation_latency_ms_mc3",
+        "ms seed->map (encode+xent+propagate, T=100, N=190, 32x32, bf16 encoder)",
+        ("reference_propagation_ms_mc3", "reference_cpu_torch_propagation_ms_mc3"),
+        T=100, N=190, hw=(32, 32), nclasses=6, radius=60, temp=0.01,
+    )
+
+
+def bench_full_survey():
+    """Full-survey inference (BASELINE.json config 5): batched seed
+    propagation over every stride-T window of the synthetic Miguel/MCORDS3
+    flight line in ONE sharded device program (scripts/test_all.py --batched;
+    reference timing hook scripts/test/test_all.py:182). The flight line is
+    uploaded ONCE; windows are gathered on-device (data/device_windows.py)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_sounder_crw_tpu.data import create_dataset, get_reference
+    from radar_sounder_crw_tpu.data.device_windows import gather_windows
+    from radar_sounder_crw_tpu.infer import PropagationPipeline
+    from radar_sounder_crw_tpu.models import create_model
+    from radar_sounder_crw_tpu.ops import LabelPropConfig
+
+    T, patch, overlap = 100, (16, 16), (8, 0)
+    ds = create_dataset(id=1, length=T, dim=patch, overlap=overlap, full=True)
+    geo = ds.geo
+    N = geo.nh
+    nclasses, seg = get_reference(
+        id=1, h=N * patch[0], w=0, length=T, dim=patch
+    )
+    rg_len, rg_h = geo.rg_len(), geo.rg_h()
+    tot_rg = seg.shape[-1] // rg_len
+    idxs = list(range(0, len(ds), T))[:tot_rg]
+    R = len(idxs)
+
+    model = create_model(1, False, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1), jnp.bfloat16),
+        train=False,
+    )
+    pipe = PropagationPipeline(
+        model, dict(variables),
+        LabelPropConfig(cxt_size=100, radius=10, temperature=0.1, knn=20),
+        nclasses=nclasses,
+    )
+    seg_refs = [seg[:rg_h, rg_len * t : rg_len * t + patch[1]] for t in range(R)]
+
+    # upload the flight line once; gather all windows on-device
+    rg_dev = jax.device_put(jnp.asarray(ds.rg))
+    seqs_dev = jax.jit(
+        lambda rg, ii: gather_windows(rg, ii, geo)
+    )(rg_dev, jnp.asarray(idxs, jnp.int32))
+
+    preds = pipe.propagate_batch(seqs_dev, seg_refs)  # warmup/compile
+    assert preds.shape == (R, N, T)
+    iters = max(2, int(os.environ.get("RSCRW_BENCH_ITERS", "8")) // 4)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        preds = pipe.propagate_batch(seqs_dev, seg_refs)
+    dt = (time.perf_counter() - t0) / iters
+    rps = R / dt
+    print(
+        f"full survey: {R} radargrams in {dt * 1e3:.0f} ms = {rps:.1f} rg/s",
+        file=sys.stderr,
+    )
+
+    anchor_ms, kind = read_anchor(
+        "reference_propagation_ms_miguel",
+        "reference_cpu_torch_propagation_ms_miguel",
+    )
+    baseline_rps = 1000.0 / anchor_ms if anchor_ms else None
+    emit(
+        "full_survey_radargrams_per_sec", rps,
+        f"radargrams/s (Miguel line, {R} windows of T=100, N={N}, one sharded program)",
+        rps / baseline_rps if baseline_rps else None, kind,
+        radargrams=R,
     )
 
 
@@ -246,6 +348,8 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     bench_train()
     bench_propagation()
+    bench_propagation_mc3()
+    bench_full_survey()
 
 
 if __name__ == "__main__":

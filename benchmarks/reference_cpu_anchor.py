@@ -51,7 +51,13 @@ def train_anchor(iters=3):
     return 1.0 / dt, dt
 
 
-def prop_anchor(iters=2):
+def prop_anchor(
+    iters=2, T=100, N=113, hw=(16, 16), M=5, ctx=100, radius=10,
+    temp=0.1, knn=20,
+):
+    """Seed->map propagate() at a given config. Defaults = the reference
+    test_all SHARAD geometry; MC3 flagship and Miguel full-survey geometries
+    are measured by the main block below."""
     import torch
 
     torch.manual_seed(11)
@@ -60,16 +66,19 @@ def prop_anchor(iters=2):
     enc = utils.create_model(1, False)
     enc.train(False)
     lp = lp_mod.LabelPropVOS_CRW(
-        {"CXT_SIZE": 100, "RADIUS": 10, "TEMP": 0.1, "KNN": 20}
+        {"CXT_SIZE": ctx, "RADIUS": radius, "TEMP": temp, "KNN": knn}
     )
     rng = np.random.default_rng(1)
-    seq = torch.tensor(rng.standard_normal((100, 113, 16, 16)).astype(np.float32))
-    seg = torch.tensor((np.arange(113 * 16)[:, None] * 5 // (113 * 16)) * np.ones((1, 16), np.int64))
+    seq = torch.tensor(rng.standard_normal((T, N, *hw)).astype(np.float32))
+    seg = torch.tensor(
+        (np.arange(N * hw[0])[:, None] * M // (N * hw[0]))
+        * np.ones((1, hw[1]), np.int64)
+    )
     with cuda_neutralized(), torch.no_grad():
-        utils.propagate(seq, seg, enc, lp, 5, False, False)  # warmup
+        utils.propagate(seq, seg, enc, lp, M, False, False)  # warmup
         t0 = time.perf_counter()
         for _ in range(iters):
-            utils.propagate(seq, seg, enc, lp, 5, False, False)
+            utils.propagate(seq, seg, enc, lp, M, False, False)
         dt = (time.perf_counter() - t0) / iters
     return dt * 1e3
 
@@ -83,3 +92,10 @@ if __name__ == "__main__":
     print(f"reference_cpu_torch_train_steps_per_sec: {sps:.4f}")
     ms = prop_anchor()
     print(f"reference_cpu_torch_propagation_ms: {ms:.1f}")
+    # MC3 flagship geometry (reference scripts/test/test_mc3.py:20-33)
+    ms = prop_anchor(iters=1, T=100, N=190, hw=(32, 32), M=6, radius=60, temp=0.01)
+    print(f"reference_cpu_torch_propagation_ms_mc3: {ms:.1f}")
+    # Miguel/MCORDS3 full-survey per-radargram geometry (H=410, 16x16, oh=8
+    # -> N=50; reference scripts/test/test_all.py defaults on dataset 1)
+    ms = prop_anchor(iters=1, T=100, N=50, hw=(16, 16), M=6, radius=10, temp=0.1)
+    print(f"reference_cpu_torch_propagation_ms_miguel: {ms:.1f}")

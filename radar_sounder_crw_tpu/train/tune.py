@@ -124,6 +124,8 @@ def _load_sweep(checkpoint_dir: str) -> tuple[list[Trial], int] | None:
         return None
     with open(path) as f:
         state = json.load(f)
+    if isinstance(state, list):  # legacy (round-1) ledger: bare trial list
+        state = {"trials": state, "rungs_done": 0}
     trials = []
     for s in state["trials"]:
         trials.append(
@@ -192,7 +194,14 @@ def _restore_trial_state(
             "losses": np.full(max_t, np.nan),
             "epoch_times": np.full(max_t, np.nan),
         }
-        out = mgr.restore(template, step)
+        try:
+            out = mgr.restore(template, step)
+        except Exception as e:
+            raise ValueError(
+                f"incompatible trial checkpoint format in {d} (a legacy "
+                "bare-TrainState payload from a pre-bundle sweep?) — delete "
+                "the trial directory to retrain this trial from scratch"
+            ) from e
         trial.trainer.state = out["state"]
         trial.epochs_done = int(step)
         trial.losses = [float(x) for x in out["losses"][: int(step)]]

@@ -153,6 +153,14 @@ class UNetTrainer:
         cfg = self.config
         if self.state is None:
             self.init_state(x.shape)
+        # resumed run: continue the shuffle schedule from the restored
+        # optimizer step (same policy as CRWTrainer.fit; assumes the same
+        # dataset length and batch size as the original run)
+        steps_per_epoch = max(1, -(-len(x) // cfg.batch_size))
+        if self._epoch_idx == 0 and int(jax.device_get(self.state.step)) > 0:
+            self._epoch_idx = (
+                int(jax.device_get(self.state.step)) // steps_per_epoch
+            )
         history = []
         for epoch in range(cfg.epochs):
             t0 = time.time()
