@@ -83,6 +83,7 @@ class ResNetEncoder(nn.Module):
     embed_dim: int = 128
     stage_sizes: tuple = (1, 1, 1, 1)
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool | None = None  # None = auto (space-to-depth conv1 on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -108,17 +109,20 @@ class ResNetEncoder(nn.Module):
             stage_sizes=self.stage_sizes,
             num_classes=self.embed_dim,
             dtype=self.dtype,
+            s2d_stem=self.s2d_stem,
             name="model",
         )(x, train=train)
         return x
 
 
-def create_model(model_id: int, pos_embed: bool, dtype=jnp.float32):
-    """Integer model registry. reference: src/utils.py:15-22 (0=CNN, 1=ResNet)."""
+def create_model(model_id: int, pos_embed: bool, dtype=jnp.float32, **kwargs):
+    """Integer model registry. reference: src/utils.py:15-22 (0=CNN, 1=ResNet).
+
+    kwargs pass through to the encoder (e.g. s2d_stem for the ResNet)."""
     if model_id == 0:
         return CNNEncoder(pos_embed=pos_embed, dtype=dtype)
     if model_id == 1:
-        return ResNetEncoder(pos_embed=pos_embed, dtype=dtype)
+        return ResNetEncoder(pos_embed=pos_embed, dtype=dtype, **kwargs)
     raise ValueError(f"unknown model id {model_id} (0=CNN, 1=ResNet)")
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -24,6 +25,87 @@ from .initializers import (
     torch_default_bias_init,
     torch_default_kernel_init,
 )
+
+
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem conv, param-compatible with nn.Conv(name=...)
+    ({scope}/kernel, HWIO (7,7,C,width)), with an optional space-to-depth
+    evaluation path for TPU.
+
+    The reference stem feeds only 3 channels into a stride-2 conv; its
+    backward-input conv then has 3 output channels — ~2% MXU utilization,
+    2.8 ms of the 14.6 ms train step on v5e (BASELINE.md r2 MFU study).
+    Space-to-depth rewrites conv7x7/s2 on (H, W, C) as the mathematically
+    identical conv4x4/s1 on the (H/2, W/2, 4C) phase-split input: the
+    backward-input conv gets 4C output channels and stride-1 geometry.
+    The parameter stays the original (7,7,C,width) kernel (checkpoint and
+    torch interchange compatible); the 4x4 phase kernel is rebuilt from it
+    inside the traced step, so autodiff delivers exact 7x7 gradients.
+
+    Derivation: out[p,q] = sum_{di,dj} x[2p-3+di, 2q-3+dj] W[di,dj]. Rows
+    with even di-3 hit even input rows 2(p+u), u=(di-3)/2 in {-1,0,1}; odd
+    di-3 hit odd rows 2(p+u)+1, u=(di-4)/2 in {-2..1}. Unifying taps to
+    u in {-2..1} gives a 4-tap kernel per phase (one zero tap for the even
+    phase) and asymmetric padding (2,1) reproduces the original pad-3 zeros.
+    """
+
+    width: int
+    dtype: jnp.dtype = jnp.float32
+    s2d: bool | None = None  # None = auto: space-to-depth on TPU backends
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", kaiming_normal_fan_out, (7, 7, in_ch, self.width)
+        )
+        s2d = self.s2d
+        if s2d is None:
+            s2d = jax.default_backend() == "tpu"
+        B, H, W, _ = x.shape
+        if not s2d or H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        # phase-split the kernel rows/cols: even phase taps at di=1,3,5
+        # (zero tap first), odd phase at di=0,2,4,6
+        def phase_split(w, axis):
+            zero = jnp.zeros_like(jax.lax.slice_in_dim(w, 0, 1, axis=axis))
+            even = jnp.concatenate(
+                [zero, jax.lax.slice_in_dim(w, 1, 7, stride=2, axis=axis)],
+                axis=axis,
+            )
+            odd = jax.lax.slice_in_dim(w, 0, 7, stride=2, axis=axis)
+            return even, odd
+
+        r0, r1 = phase_split(kernel, 0)  # (4,7,C,O) each
+        parts = []
+        for r in (r0, r1):
+            c0, c1 = phase_split(r, 1)  # (4,4,C,O)
+            parts += [c0, c1]
+        w4 = jnp.concatenate(parts, axis=2)  # (4,4,4C,O), blocks (i,j) order
+
+        x4 = jnp.concatenate(
+            [
+                x[:, 0::2, 0::2, :],
+                x[:, 0::2, 1::2, :],
+                x[:, 1::2, 0::2, :],
+                x[:, 1::2, 1::2, :],
+            ],
+            axis=-1,
+        )  # (B, H/2, W/2, 4C)
+        return jax.lax.conv_general_dilated(
+            x4.astype(self.dtype),
+            w4.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
 
 
 class BasicBlock(nn.Module):
@@ -87,17 +169,14 @@ class ResNetCore(nn.Module):
     num_classes: int = 128
     width: int = 64
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool | None = None  # None = auto (space-to-depth on TPU)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(
-            self.width,
-            (7, 7),
-            strides=(2, 2),
-            padding=3,
-            use_bias=False,
-            kernel_init=kaiming_normal_fan_out,
+        x = StemConv(
+            width=self.width,
             dtype=self.dtype,
+            s2d=self.s2d_stem,
             name="conv1",
         )(x)
         x = nn.BatchNorm(

@@ -65,6 +65,8 @@ class CRWTrainConfig:
     # host->device window upload — the ~8x epoch-wall overhead of round 2).
     # None = auto: on whenever the dataset serves windows of one radargram;
     # False forces the host windowing path (e.g. radargram too large for HBM).
+    s2d_stem: bool | None = None  # ResNet stem conv as space-to-depth
+    # (models/resnet.py:StemConv); None = auto (on for TPU backends).
 
 
 class TrainState(struct.PyTreeNode):
@@ -135,7 +137,12 @@ class CRWTrainer:
     def __init__(self, config: CRWTrainConfig, mesh=None):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.model = create_model(config.model, config.pos_embed, dtype=config.dtype)
+        self.model = create_model(
+            config.model,
+            config.pos_embed,
+            dtype=config.dtype,
+            **({"s2d_stem": config.s2d_stem} if config.model == 1 else {}),
+        )
         self.tx = optax.adam(config.lr)
         self._step_raw = make_crw_train_step(
             self.model, self.tx, config.tau, config.pos_embed, config.remat

@@ -221,3 +221,62 @@ def test_dataparallel_prefix_stripped():
         np.asarray(back["params"]["conv1"]["kernel"]),
         np.asarray(variables["params"]["conv1"]["kernel"]),
     )
+
+
+def test_s2d_stem_matches_plain_conv():
+    """StemConv's space-to-depth path must be mathematically identical to
+    the plain 7x7/stride-2 conv (same params, same output, same gradients),
+    and must fall back to the plain conv for odd spatial sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.models.resnet import StemConv
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((4, 18, 18, 3)).astype(np.float32))
+
+    plain = StemConv(width=64, s2d=False)
+    fast = StemConv(width=64, s2d=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    # identical parameter trees (checkpoint/interchange compatibility)
+    assert jax.tree_util.tree_structure(
+        params
+    ) == jax.tree_util.tree_structure(fast.init(jax.random.PRNGKey(0), x))
+    assert params["params"]["kernel"].shape == (7, 7, 3, 64)
+
+    y0 = plain.apply(params, x)
+    y1 = fast.apply(params, x)
+    assert y0.shape == y1.shape == (4, 9, 9, 64)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-5, atol=1e-5)
+
+    def loss(fn, p):
+        return jnp.sum(jnp.sin(fn.apply(p, x)))
+
+    g0 = jax.grad(lambda p: loss(plain, p))(params)["params"]["kernel"]
+    g1 = jax.grad(lambda p: loss(fast, p))(params)["params"]["kernel"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4, atol=1e-5)
+
+    # odd spatial size: falls back to the plain conv path
+    xo = jnp.asarray(rng.standard_normal((2, 17, 17, 3)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fast.apply(params, xo)),
+        np.asarray(plain.apply(params, xo)),
+        rtol=1e-6,
+    )
+
+
+def test_resnet_encoder_s2d_flag_full_model():
+    """ResNetEncoder(s2d_stem=True) == (False) end-to-end on CPU."""
+    import jax
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.models import create_model
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((5, 16, 16, 1)).astype(np.float32))
+    m0 = create_model(1, False, s2d_stem=False)
+    m1 = create_model(1, False, s2d_stem=True)
+    v = m0.init(jax.random.PRNGKey(3), x, train=False)
+    y0 = m0.apply(v, x, train=False)
+    y1 = m1.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-4)
