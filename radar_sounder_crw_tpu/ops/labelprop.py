@@ -288,10 +288,18 @@ def propagate_labels(
       cfg: LabelPropConfig.
       grid_hw: patch-grid shape per frame; default (N, 1) — a vertical column
         of patches, the geometry of this pipeline (reference utils.py:148).
-      kernel: 'xla' (pure-JAX step), 'pallas' (fused TPU kernel, tiled over
-        context-slot blocks so any config the XLA path serves runs fused),
-        'pallas_interpret' (kernel in interpreter mode, for CPU tests), or
-        'auto' (fused kernel on TPU; XLA only if no block tiling fits VMEM).
+      kernel: 'xla' (pure-JAX step); 'pallas' (fused TPU kernel, tiled over
+        context-slot blocks so any config the XLA path serves runs fused);
+        'pallas_resident' (whole-sequence single-launch kernel with the ring
+        buffer in VMEM scratch — MEASURED SLOWER than the tiled kernel on
+        v5e: MC3 554 vs 84 ms, SHARAD 119 vs 43 ms per 100 frames; the
+        per-frame kernel-dispatch overhead it eliminates is far smaller
+        than the cost of running the knn extraction passes over the full
+        un-tiled (K*N_pad, N_pad) affinity — kept as the recorded negative
+        result, correct and tested);
+        'pallas_interpret' / 'pallas_resident_interpret' (interpreter mode,
+        for CPU tests); or 'auto' (tiled fused kernel on TPU; XLA if no
+        block tiling fits VMEM).
       query_block: when set (XLA path only), process query nodes in
         sequential blocks of this size, bounding peak memory to O(K*N*qb)
         per frame instead of materializing the (K*N, N) affinity — the
@@ -363,13 +371,39 @@ def propagate_labels(
             labels0 = labels0.at[j].set(seed_labels)
         carry0 = (feats0, labels0, ring_written0, t0)
         xs = emb[1:]
-    elif kernel in ("pallas", "pallas_interpret"):
+    elif kernel in (
+        "pallas", "pallas_interpret",
+        "pallas_resident", "pallas_resident_interpret",
+    ):
         if query_block is not None:
             raise ValueError(
                 "query_block applies to the XLA path only (the fused kernel "
                 "bounds memory by tiling the context-slot axis instead)"
             )
-        from .labelprop_pallas import _round_up, pad_mask
+        from .labelprop_pallas import (
+            _round_up,
+            pad_mask,
+            plan_resident,
+            propagate_all_pallas,
+        )
+
+        interp = kernel.endswith("interpret")
+        if kernel.startswith("pallas_resident"):
+            # whole-sequence single-launch kernel — see the kernel-arg doc
+            # above: a recorded negative result, selectable explicitly only
+            # (interpret mode has no VMEM, so any size "fits" for testing)
+            if not plan_resident(
+                K, N, C, M, knn, budget=(1 << 62) if interp else None
+            ):
+                raise ValueError(
+                    f"resident kernel working set exceeds VMEM for "
+                    f"K={K}, N={N}, C={C}, M={M}"
+                )
+            soft = propagate_all_pallas(
+                emb, seed_labels, mask, cfg.temperature, knn, long_mem, cxt,
+                interpret=interp,
+            )
+            return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
 
         kb = plan_blocks(K, N, C, M, knn, vmem_budget)
         if kb is None:
@@ -390,7 +424,7 @@ def propagate_labels(
             labT0 = labT0.at[:M, s * n_pad : s * n_pad + N].set(seedT)
         step = partial(
             _prop_step_fused, pad_mask(mask, N), cfg.temperature, knn,
-            kernel == "pallas_interpret", long_mem, cxt, kb, nblocks, N, C, M,
+            interp, long_mem, cxt, kb, nblocks, N, C, M,
         )
         carry0 = (f2d0, labT0, ring_written0, t0)
         xs = emb[1:].astype(jnp.float32)
@@ -403,13 +437,43 @@ def propagate_labels(
 
 def propagate_labels_batched(
     emb, seed_labels, cfg, grid_hw=None, kernel="auto", query_block=None,
-    vmem_budget=None,
+    vmem_budget=None, batch_block=None,
 ):
     """vmap of propagate_labels over a leading radargram batch axis — the
     scale-out path for full-survey inference (shard the batch axis over the
-    mesh; each scan stays per-device serial)."""
-    return jax.vmap(
+    mesh; each scan stays per-device serial).
+
+    batch_block: when set, process the batch axis in sequential chunks of
+    this size (`lax.map` over vmapped chunks), bounding peak memory to
+    O(batch_block) radargrams — the batch-axis analogue of `query_block`
+    and the TPU-native form of the reference's `bsize=2` mini-batching in
+    mem_efficient_batched_affinity (reference maskedatt.py:177-181).
+    Results are identical to the unchunked call; a trailing partial chunk
+    is padded with the first radargram and its outputs dropped.
+    """
+    run = jax.vmap(
         lambda e, s: propagate_labels(
             e, s, cfg, grid_hw, kernel, query_block, vmem_budget
         )
-    )(emb, seed_labels)
+    )
+    if batch_block is None:
+        return run(emb, seed_labels)
+    bb = int(batch_block)
+    if bb < 1:
+        raise ValueError(f"batch_block must be >= 1, got {batch_block}")
+    B = emb.shape[0]
+    bb = min(bb, B)
+    n_chunks = -(-B // bb)
+    pad = n_chunks * bb - B
+    if pad:
+        emb = jnp.concatenate([emb, jnp.broadcast_to(emb[:1], (pad, *emb.shape[1:]))])
+        seed_labels = jnp.concatenate(
+            [seed_labels,
+             jnp.broadcast_to(seed_labels[:1], (pad, *seed_labels.shape[1:]))]
+        )
+    emb_c = emb.reshape(n_chunks, bb, *emb.shape[1:])
+    seed_c = seed_labels.reshape(n_chunks, bb, *seed_labels.shape[1:])
+    soft, pred = jax.lax.map(lambda args: run(*args), (emb_c, seed_c))
+    soft = soft.reshape(n_chunks * bb, *soft.shape[2:])[:B]
+    pred = pred.reshape(n_chunks * bb, *pred.shape[2:])[:B]
+    return soft, pred

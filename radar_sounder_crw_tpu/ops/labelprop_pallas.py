@@ -53,11 +53,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_PAD = -1e30  # padding rows/slots: below every real candidate, no fp32 overflow
 NEG_SELECTED = -jnp.inf  # already-extracted winners: below everything
+NEG_INVALID_F = -1e12  # unwritten ring slots (== labelprop.NEG_INVALID)
 DEFAULT_VMEM_BUDGET = 14 * 2**20  # conservative floor (~16 MB/core chips)
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+RESIDENT_BUDGET_V5 = 120 * 2**20  # whole-sequence kernel VMEM plan (v5e+: 128MB)
+RESIDENT_VMEM_LIMIT = 126 * 2**20  # scoped-vmem ceiling passed to Mosaic
+
+
+def plan_resident(
+    K: int, N: int, C: int, M: int, knn: int, budget: int | None = None
+) -> bool:
+    """True when the whole-sequence resident kernel's working set (ring
+    buffer + affinity + original-affinity copy + streamed frame blocks,
+    plus ~two (K*N_pad, N_pad) compiler temporaries for the extraction
+    loop — calibrated on v5e: MC3 N=190/cxt=100 allocates 114.3 MB scoped
+    vmem vs the 117 MB this model predicts) fits VMEM — on this device
+    generation, or under an explicit budget."""
+    n_pad = _round_up(N, 128)
+    c_pad = _round_up(C, 128)
+    m_pad = _round_up(M, 8)
+    knn_pad = _round_up(max(knn, 1), 8)
+    kpn = K * n_pad
+    scratch = 4 * (
+        kpn * c_pad  # feats ring
+        + m_pad * kpn  # labels ring
+        + 2 * kpn * n_pad  # aff + orig
+        + knn_pad * n_pad
+    )
+    temporaries = 4 * 2 * kpn * n_pad  # extraction-loop live intermediates
+    blocks = 4 * (
+        2 * 2 * c_pad * n_pad  # embT + embP (double-buffered)
+        + 2 * (c_pad * n_pad + m_pad * n_pad)  # emb0 + seed + mask + out
+        + n_pad * n_pad
+    )
+    if budget is None:
+        try:
+            kind = jax.devices()[0].device_kind.lower()
+        except Exception:
+            return False
+        budget = (
+            RESIDENT_BUDGET_V5
+            if any(g in kind for g in ("v5", "v6", "v7"))
+            else 12 * 2**20
+        )
+    return scratch + temporaries + blocks <= budget
 
 
 def default_vmem_budget() -> int:
@@ -362,3 +406,185 @@ def prop_step_pallas(
         f, q, mask, lab, sb, temp, knn, kb, nblocks, interpret
     )
     return pred[:M, :N].T  # (N, M)
+
+
+def _prop_all_kernel(
+    temp_ref,  # (1, 1) SMEM: temperature
+    embT_ref,  # (1, C_pad, N_pad) frame t features, transposed (query)
+    embP_ref,  # (1, N_pad, C_pad) frame t features (ring-push layout)
+    emb0_ref,  # (N_pad, C_pad) frame 0 features (ring init)
+    seedT_ref,  # (M_pad, N_pad) seed labels, transposed
+    mask_ref,  # (N_pad, N_pad) radius mask (+NEG_PAD on padding rows)
+    soft_ref,  # out block: (1, M_pad, N_pad) this frame's soft labels
+    featsS,  # scratch (K*N_pad, C_pad): the feature ring, resident all frames
+    labS,  # scratch (M_pad, K*N_pad): the label ring
+    aff,  # scratch (K*N_pad, N_pad): affinity -> extraction marks -> W
+    orig,  # scratch (K*N_pad, N_pad): affinity copy (weight reconstruction)
+    bvals,  # scratch (KNN_PAD, N_pad): top-k values, sorted desc
+    *,
+    knn: int,
+    n_pad: int,
+    K: int,
+    cxt: int,
+    long_mem: tuple,
+    N: int,
+):
+    """Whole-sequence fused propagation: ONE kernel launch per radargram,
+    grid over frames, the context ring buffer resident in VMEM scratch.
+
+    RECORDED NEGATIVE RESULT (v5e, 2026-08-17): 554.4 ms MC3 / 118.6 ms
+    SHARAD per 100 frames vs the tiled per-frame kernel's 83.7 / 42.6.
+    The hypothesis was that the per-frame kernel dispatch + carry-prep
+    floor (~0.35 ms/frame) dominated; in fact running the knn serial
+    extraction passes over the full un-tiled (K*N_pad, N_pad) affinity
+    (no context-block tiling inside one launch) costs several times more
+    than the dispatch overhead saved, and super-linearly so at MC3 where
+    the working set (~114 MB scoped VMEM) nears the v5e ceiling. Kept
+    correct + tested as the record; never auto-routed.
+
+    Design notes that remain of value: selection weights are reconstructed
+    in ONE vectorized pass — winners are the rows extraction marked
+    NEG_SELECTED, each weighted exp(orig - max)/sum(exp(topk - max)),
+    bit-identical to softmax over the extracted values — instead of knn
+    scatter passes.
+    """
+    i = pl.program_id(0)
+    t = i + 1
+    L = len(long_mem)
+    kpn = K * n_pad
+
+    @pl.when(i == 0)
+    def _init():
+        featsS[:] = jnp.zeros_like(featsS)
+        labS[:] = jnp.zeros_like(labS)
+        featsS[L * n_pad : (L + 1) * n_pad, :] = emb0_ref[:]
+        labS[:, L * n_pad : (L + 1) * n_pad] = seedT_ref[:]
+        for j, fj in enumerate(long_mem):
+            if fj == 0:
+                featsS[j * n_pad : (j + 1) * n_pad, :] = emb0_ref[:]
+                labS[:, j * n_pad : (j + 1) * n_pad] = seedT_ref[:]
+
+    # per-slot validity bias, computed arithmetically from the frame index
+    # (same policy as ops/labelprop.py:_slot_validity): ring slots valid once
+    # written; pins valid once their frame left the recent window
+    slot_col = jax.lax.broadcasted_iota(jnp.int32, (kpn, 1), 0) // n_pad
+    valid = (slot_col >= L) & (slot_col - L < t)
+    for j, fj in enumerate(long_mem):
+        valid = valid | ((slot_col == j) & (t - fj > cxt))
+    bias = jnp.where(valid, 0.0, NEG_INVALID_F)
+
+    temp = temp_ref[0, 0]
+    a = jnp.dot(
+        featsS[:],
+        embT_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    a = a.reshape(K, n_pad, n_pad) + mask_ref[:][None, :, :]
+    a = (a.reshape(kpn, n_pad) + bias) / temp
+    orig[:] = a
+    aff[:] = a
+
+    # iterative max-extraction of the top-knn (lowest row wins ties); every
+    # winner stays marked NEG_SELECTED in `aff` for the weight pass
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kpn, n_pad), 0)
+    prev = jnp.full((1, n_pad), -1, jnp.int32)
+    for k in range(knn):
+        a2 = jnp.where(row_ids == prev, NEG_SELECTED, aff[:])
+        m = jnp.max(a2, axis=0, keepdims=True)
+        prev = jnp.min(jnp.where(a2 == m, row_ids, kpn), axis=0, keepdims=True)
+        bvals[k, :] = m[0]
+        aff[:] = a2
+    aff[:] = jnp.where(row_ids == prev, NEG_SELECTED, aff[:])
+
+    # ONE-pass weight matrix: W[r,q] = exp(orig - max)/denom on winner rows
+    v0 = bvals[0:1, :]
+    denom = jnp.sum(jnp.exp(bvals[0:knn, :] - v0), axis=0, keepdims=True)
+    aff[:] = jnp.where(
+        aff[:] == NEG_SELECTED, jnp.exp(orig[:] - v0) / denom, 0.0
+    )
+
+    pred = jax.lax.dot_general(
+        labS[:],
+        aff[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (M_pad, N_pad)
+    # zero padded query columns: their garbage predictions would otherwise
+    # persist in the label ring
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, pred.shape, 1)
+    pred = jnp.where(col_ids < N, pred, 0.0)
+    soft_ref[0] = pred
+
+    # push frame t into the ring (+ pin slots when their frame comes up)
+    slot = L + jnp.mod(t, cxt)
+    featsS[pl.ds(slot * n_pad, n_pad), :] = embP_ref[0]
+    labS[:, pl.ds(slot * n_pad, n_pad)] = pred
+    for j, fj in enumerate(long_mem):
+        @pl.when(t == fj)
+        def _pin(j=j):
+            featsS[j * n_pad : (j + 1) * n_pad, :] = embP_ref[0]
+            labS[:, j * n_pad : (j + 1) * n_pad] = pred
+
+
+def propagate_all_pallas(
+    emb, seed_labels, radius_mask_nn, temp, knn: int, long_mem: tuple,
+    cxt: int, interpret: bool = False,
+):
+    """Whole-sequence resident propagation (see _prop_all_kernel).
+
+    emb (T, N, C) L2-normalized; seed_labels (N, M); radius_mask_nn (N, N).
+    Returns soft (T, N, M) float32 (frame 0 = seed as given).
+    """
+    T, N, C = emb.shape
+    M = seed_labels.shape[-1]
+    L = len(long_mem)
+    K = L + cxt
+    n_pad = _round_up(N, 128)
+    c_pad = _round_up(C, 128)
+    m_pad = _round_up(M, 8)
+    knn_pad = _round_up(knn, 8)
+
+    emb = emb.astype(jnp.float32)
+    embT = jnp.zeros((T - 1, c_pad, n_pad), jnp.float32)
+    embT = embT.at[:, :C, :N].set(jnp.transpose(emb[1:], (0, 2, 1)))
+    embP = jnp.zeros((T - 1, n_pad, c_pad), jnp.float32).at[:, :N, :C].set(emb[1:])
+    emb0 = jnp.zeros((n_pad, c_pad), jnp.float32).at[:N, :C].set(emb[0])
+    seedT = jnp.zeros((m_pad, n_pad), jnp.float32)
+    seedT = seedT.at[:M, :N].set(seed_labels.astype(jnp.float32).T)
+    mask = pad_mask(radius_mask_nn, N)
+    temp_arr = jnp.full((1, 1), temp, jnp.float32)
+
+    soft = pl.pallas_call(
+        functools.partial(
+            _prop_all_kernel, knn=knn, n_pad=n_pad, K=K, cxt=cxt,
+            long_mem=long_mem, N=N,
+        ),
+        grid=(T - 1,),
+        out_shape=jax.ShapeDtypeStruct((T - 1, m_pad, n_pad), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
+            pl.BlockSpec((1, c_pad, n_pad), lambda i: (i, 0, 0)),  # embT
+            pl.BlockSpec((1, n_pad, c_pad), lambda i: (i, 0, 0)),  # embP
+            pl.BlockSpec((n_pad, c_pad), lambda i: (0, 0)),  # emb0
+            pl.BlockSpec((m_pad, n_pad), lambda i: (0, 0)),  # seedT
+            pl.BlockSpec((n_pad, n_pad), lambda i: (0, 0)),  # mask
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, n_pad), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((K * n_pad, c_pad), jnp.float32),
+            pltpu.VMEM((m_pad, K * n_pad), jnp.float32),
+            pltpu.VMEM((K * n_pad, n_pad), jnp.float32),
+            pltpu.VMEM((K * n_pad, n_pad), jnp.float32),
+            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=RESIDENT_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(temp_arr, embT, embP, emb0, seedT, mask)
+    soft_rest = jnp.transpose(soft[:, :M, :N], (0, 2, 1))  # (T-1, N, M)
+    return jnp.concatenate(
+        [seed_labels.astype(jnp.float32)[None], soft_rest], axis=0
+    )

@@ -258,3 +258,88 @@ def test_long_mem_validation():
                 emb, seed,
                 LabelPropConfig(cxt_size=2, long_mem=bad), None, "xla",
             )
+
+
+def test_resident_kernel_matches_xla():
+    """Whole-sequence resident kernel (interpret mode) == XLA path,
+    including argmax, for default and multi-pin long_mem configs. (The
+    resident kernel is a recorded negative perf result — explicitly
+    selectable, never auto-routed — but must stay correct.)"""
+    T, N, C, M = 12, 10, 8, 4
+    emb = random_emb(T, N, C, seed=31)
+    seed = onehot_seed(N, M, seed=31)
+    for lm in [(0,), (0, 2, 5), ()]:
+        cfg = LabelPropConfig(
+            cxt_size=4, radius=4, temperature=0.07, knn=5, long_mem=lm
+        )
+        s_x, p_x = propagate_labels(
+            jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla"
+        )
+        s_r, p_r = propagate_labels(
+            jnp.asarray(emb), jnp.asarray(seed), cfg, None,
+            "pallas_resident_interpret",
+        )
+        s_t, p_t = propagate_labels(
+            jnp.asarray(emb), jnp.asarray(seed), cfg, None,
+            "pallas_interpret",
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_r), np.asarray(s_x), rtol=1e-4, atol=1e-6,
+            err_msg=f"long_mem={lm}",
+        )
+        np.testing.assert_array_equal(np.asarray(p_r), np.asarray(p_x))
+        np.testing.assert_allclose(
+            np.asarray(s_t), np.asarray(s_x), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(p_t), np.asarray(p_x))
+
+
+def test_resident_kernel_vmap_matches_per_item():
+    """The resident kernel under vmap (the batched full-survey path) must
+    equal per-item calls — guards the pallas batching-rule/grid interaction
+    (program_id axes shift when vmap prepends a batch grid dimension)."""
+    B, T, N, C, M = 3, 8, 10, 8, 4
+    emb = np.stack([random_emb(T, N, C, seed=40 + i) for i in range(B)])
+    seeds = np.stack([onehot_seed(N, M, seed=40 + i) for i in range(B)])
+    cfg = LabelPropConfig(cxt_size=4, radius=4, temperature=0.07, knn=4)
+    soft_b, pred_b = propagate_labels_batched(
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None,
+        "pallas_resident_interpret",
+    )
+    for i in range(B):
+        s_i, p_i = propagate_labels(
+            jnp.asarray(emb[i]), jnp.asarray(seeds[i]), cfg, None,
+            "pallas_resident_interpret",
+        )
+        np.testing.assert_allclose(
+            np.asarray(soft_b[i]), np.asarray(s_i), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_array_equal(np.asarray(pred_b[i]), np.asarray(p_i))
+
+
+def test_batch_block_matches_unchunked():
+    """batch_block chunking (the reference's bsize mini-batching analogue,
+    maskedatt.py:177-181) must be a pure memory knob: identical results,
+    including a trailing partial chunk (B=5, bb=2)."""
+    B, T, N, C, M = 5, 8, 10, 8, 4
+    emb = np.stack([random_emb(T, N, C, seed=60 + i) for i in range(B)])
+    seeds = np.stack([onehot_seed(N, M, seed=60 + i) for i in range(B)])
+    cfg = LabelPropConfig(cxt_size=4, radius=4, temperature=0.07, knn=4)
+    s0, p0 = propagate_labels_batched(
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "xla"
+    )
+    for bb in (1, 2, 5, 9):
+        s1, p1 = propagate_labels_batched(
+            jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "xla",
+            batch_block=bb,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s1), np.asarray(s0), rtol=1e-6, atol=1e-7,
+            err_msg=f"batch_block={bb}",
+        )
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+    with pytest.raises(ValueError):
+        propagate_labels_batched(
+            jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "xla",
+            batch_block=0,
+        )
