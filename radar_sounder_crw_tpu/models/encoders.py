@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .initializers import torch_default_bias_init, torch_default_kernel_init
-from .resnet import ResNetCore
+from .resnet import ResNetCore, make_norm
 
 
 def _conv(features, kernel, in_ch, padding, dtype, name):
@@ -84,6 +84,7 @@ class ResNetEncoder(nn.Module):
     stage_sizes: tuple = (1, 1, 1, 1)
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool | None = None  # None = auto (space-to-depth conv1 on TPU)
+    fused_bn: bool | None = None  # None = flax BN (fused is a measured negative result)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -97,19 +98,14 @@ class ResNetEncoder(nn.Module):
             dtype=self.dtype,
             name="fc0",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn0",
-        )(x)
+        x = make_norm(self.fused_bn, train, self.dtype, "bn0")(x)
         x = nn.relu(x)
         x = ResNetCore(
             stage_sizes=self.stage_sizes,
             num_classes=self.embed_dim,
             dtype=self.dtype,
             s2d_stem=self.s2d_stem,
+            fused_bn=self.fused_bn,
             name="model",
         )(x, train=train)
         return x

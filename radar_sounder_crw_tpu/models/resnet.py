@@ -20,11 +20,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .fused_bn import FusedBatchNorm
 from .initializers import (
     kaiming_normal_fan_out,
     torch_default_bias_init,
     torch_default_kernel_init,
 )
+
+
+def make_norm(fused: bool | None, train: bool, dtype, name: str):
+    """BatchNorm factory: flax nn.BatchNorm, or the hand-scheduled
+    FusedBatchNorm (models/fused_bn.py) when `fused` is explicitly True.
+
+    None = flax. MEASURED NEGATIVE RESULT (v5e, 2026-08-17, interleaved
+    A/B through CRWTrainer, benchmarks/bench_fused_bn.py): 17.7 vs 16.75
+    ms/step — the custom_vjp boundary blocks XLA's conv+BN fusions and the
+    backward's xhat recompute costs more than the materialized f32
+    activation copy it saves. Kept correct + tested, never auto-routed.
+    Parameter/collection layout is identical either way."""
+    if fused is None:
+        fused = False
+    cls = FusedBatchNorm if fused else nn.BatchNorm
+    return cls(
+        use_running_average=not train,
+        momentum=0.9,
+        epsilon=1e-5,
+        dtype=dtype,
+        name=name,
+    )
 
 
 class StemConv(nn.Module):
@@ -115,16 +138,11 @@ class BasicBlock(nn.Module):
     stride: int = 1
     use_projection: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_bn: bool | None = None  # None = flax BN (fused is a measured negative result)
 
     @nn.compact
     def __call__(self, x, train: bool):
-        norm = lambda name: nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name=name,
-        )
+        norm = lambda name: make_norm(self.fused_bn, train, self.dtype, name)
         identity = x
         y = nn.Conv(
             self.planes,
@@ -170,6 +188,7 @@ class ResNetCore(nn.Module):
     width: int = 64
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool | None = None  # None = auto (space-to-depth on TPU)
+    fused_bn: bool | None = None  # None = flax BN (fused is a measured negative result)
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -179,13 +198,7 @@ class ResNetCore(nn.Module):
             s2d=self.s2d_stem,
             name="conv1",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn1",
-        )(x)
+        x = make_norm(self.fused_bn, train, self.dtype, "bn1")(x)
         x = nn.relu(x)
         # NOTE: a max-tree-of-strided-slices pool variant was measured at
         # 31.1 ms/step vs 18.4 ms for reduce_window on the bench config —
@@ -202,6 +215,7 @@ class ResNetCore(nn.Module):
                     stride=stride,
                     use_projection=(stage > 0 and block == 0),
                     dtype=self.dtype,
+                    fused_bn=self.fused_bn,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
             planes *= 2

@@ -67,6 +67,8 @@ class CRWTrainConfig:
     # False forces the host windowing path (e.g. radargram too large for HBM).
     s2d_stem: bool | None = None  # ResNet stem conv as space-to-depth
     # (models/resnet.py:StemConv); None = auto (on for TPU backends).
+    fused_bn: bool | None = None  # hand-scheduled training BatchNorm
+    # (models/fused_bn.py); None = auto (on for TPU backends).
 
 
 class TrainState(struct.PyTreeNode):
@@ -141,7 +143,11 @@ class CRWTrainer:
             config.model,
             config.pos_embed,
             dtype=config.dtype,
-            **({"s2d_stem": config.s2d_stem} if config.model == 1 else {}),
+            **(
+                {"s2d_stem": config.s2d_stem, "fused_bn": config.fused_bn}
+                if config.model == 1
+                else {}
+            ),
         )
         self.tx = optax.adam(config.lr)
         self._step_raw = make_crw_train_step(
