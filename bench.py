@@ -345,6 +345,9 @@ def bench_full_survey():
 def main():
     import jax
 
+    from radar_sounder_crw_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     bench_train()
     bench_propagation()

@@ -65,6 +65,29 @@ def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
             f"[{name}] {kernel} == xla OK; speedup "
             f"{out['xla'][2] / out[kernel][2]:.2f}x", flush=True,
         )
+
+    if os.environ.get("RSCRW_BENCH_SLOPE"):
+        # per-frame DEVICE slope: time the fused kernel at 2T frames too and
+        # difference out every fixed per-call cost (the ~23-28 ms tunnel
+        # round-trip of the scalar fetch dominates the wall numbers above at
+        # the SHARAD scale; production serving amortizes it by pipelining)
+        emb2 = np.concatenate([emb, emb], axis=0)
+        emb2 /= np.linalg.norm(emb2, axis=-1, keepdims=True)
+        emb2_d = jnp.asarray(emb2)
+        soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
+        float(jax.device_get(soft[-1, 0, 0]))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
+            _ = float(jax.device_get(soft[-1, 0, 0]))
+        dt2 = (time.perf_counter() - t0) / iters
+        slope = (dt2 - out["pallas"][2]) / T
+        print(
+            f"[{name}] pallas device slope: {slope * 1e6:.0f} us/frame "
+            f"({slope * T * 1e3:.1f} ms / {T} frames device; "
+            f"fixed per-call {max(out['pallas'][2] - slope * T, 0) * 1e3:.1f} ms)",
+            flush=True,
+        )
     return out
 
 

@@ -8,17 +8,33 @@ Fuses the whole per-frame propagation step of ops/labelprop.py —
 affinity matrix and XLA's general sort-based top_k. Inference-only (label
 propagation takes no gradients), so no custom VJP is needed.
 
-Two-phase grid (round 3; replaces the round-2 kernel whose extraction loop
-did one (M_pad, kb*N_pad) label matmul PER winner — knn low-occupancy MXU
-passes per block dominated the step):
-  phase 0 (one grid step per context-slot block): compute the block's
-    affinity, extract the block top-knn as (value, global flat index) pairs
-    by iterative max-extraction, merge into a running global top-k kept in
-    scratch. No label traffic or label math at all.
-  phase 1 (one grid step per block): softmax the global top-k once, scatter
-    the k weights into a sparse (kb*N_pad, N_pad) weight matrix W in scratch
-    (reusing the affinity buffer), and accumulate pred += labels_block @ W —
-    ONE label matmul per block instead of knn.
+Selection scheme (round 3, v2 — replaces both the round-2 per-winner label
+matmuls and the first round-3 two-phase scatter kernel):
+  * top-k extraction is READ-ONLY: pass k excludes the already-extracted
+    winners by a lexicographic threshold against the last winner's
+    (value, row) pair — `(a < v_last) | (a == v_last & row > i_last)` —
+    instead of writing NEG_SELECTED into the multi-MB affinity buffer every
+    pass. Extraction was the dominant phase-0 cost (measured ~0.17 ms/frame
+    at MC3, benchmarks/kernel_ablation.py); dropping the per-pass write
+    halves its VMEM traffic. Tie order is unchanged (lowest row wins).
+  * the per-winner weight SCATTER is gone (measured ~0.10 ms/frame of pure
+    VPU compute — knn compare/select/add passes): the weight matrix W is
+    reconstructed in ONE vectorized pass from the global k-th winner
+    threshold (v_k, i_k): selected rows are exactly
+    `(a > v_k) | (a == v_k & row <= i_k)`, each weighted
+    `exp(a - v_1) / sum_j exp(v_j - v_1)` — bit-equal to softmax over the
+    extracted values (the trick proven in the resident kernel).
+
+Grid shapes:
+  * single block (nblocks == 1 — SHARAD and every config the default VMEM
+    budget serves unblocked): grid (1, 1); the affinity is computed ONCE and
+    lives as a register/VMEM value through extraction and weight
+    reconstruction; one label matmul.
+  * tiled (nblocks > 1 — e.g. MC3): grid (2, nblocks). Phase 0 per block:
+    affinity + read-only block top-k + merge into the running global top-k
+    (scratch). Phase 1 per block: RECOMPUTE the block affinity (one extra
+    MXU matmul — cheaper than holding every block's affinity in VMEM),
+    reconstruct W, accumulate pred += labels_block @ W.
 Per-step VMEM is O(kb*N_pad*(C_pad+N_pad)) — `plan_blocks` picks the largest
 `kb` that fits the budget, so any (K, N) the XLA path serves runs fused too.
 
@@ -164,12 +180,12 @@ def _prop_step_kernel(
     bias_ref,  # (kb*N_pad, 1) this block's per-candidate-row validity bias
     labels_ref,  # (M_pad, kb*N_pad) this block's transposed context soft labels
     pred_ref,  # out: (M_pad, N_pad) predicted soft labels
-    aff,  # scratch (kb*N_pad, N_pad): affinity (phase 0) / weights W (phase 1)
+    aff,  # scratch (kb*N_pad, N_pad): the reconstructed weight matrix W
     bvals,  # scratch (KNN_PAD, N_pad): block winners' scores
     bidx,  # scratch int32 (KNN_PAD, N_pad): block winners' global flat rows
     gvals,  # scratch (KNN_PAD, N_pad): running global winners
     gidx,  # scratch int32 (KNN_PAD, N_pad)
-    wvals,  # scratch (KNN_PAD, N_pad): softmaxed global winner weights
+    wvals,  # scratch (KNN_PAD, N_pad): row 0 = softmax denominator
     *,
     knn: int,
     n_pad: int,
@@ -179,11 +195,10 @@ def _prop_step_kernel(
     phase = pl.program_id(0)
     blk = pl.program_id(1)
     kbn = kb * n_pad
+    single = nblocks == 1
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (kbn, n_pad), 0)
 
-    # ---- phase 0: affinity + block top-k (values/indices only) + merge ----
-    @pl.when(phase == 0)
-    def _find():
+    def _affinity():
         # HIGHEST precision: plain f32 dots lower to bf16 MXU passes on TPU,
         # which would shift affinities (and top-k membership) vs the XLA path
         a = jnp.dot(
@@ -192,7 +207,6 @@ def _prop_step_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-
         # mask + per-slot validity bias + temperature, ONE vectorized pass:
         # the radius mask broadcasts over slots via a (kb, N_pad, N_pad)
         # view, the bias rides as a per-row column. (Round-3 change: a
@@ -201,82 +215,49 @@ def _prop_step_kernel(
         # reciprocal): bit-equal with the XLA path's `aff / temperature` —
         # x*(1/t) differs by ulps for non-power-of-two temperatures,
         # enough to flip top-k ties.
-        temp = temp_ref[0, 0]
         a = a.reshape(kb, n_pad, n_pad) + mask_ref[:][None, :, :]
-        aff[:] = (a.reshape(kbn, n_pad) + bias_ref[:]) / temp
+        return (a.reshape(kbn, n_pad) + bias_ref[:]) / temp_ref[0, 0]
 
-        # extract this block's top-knn (value, global row) by iterative
-        # max-extraction; lowest row index wins ties. The previous winner's
-        # exclusion is fused into the next pass's read (one read + one write
-        # per pass instead of three reads), and the loop is unrolled (knn is
-        # static) so Mosaic can software-pipeline the passes.
-        prev_first = jnp.full((1, n_pad), -1, jnp.int32)
+    def _find(a):
+        # extract this block's top-knn (value, global row); lowest row wins
+        # ties. READ-ONLY: pass k excludes prior winners by a lexicographic
+        # threshold against the last winner (v_last, i_last) — everything
+        # lex-greater was extracted on an earlier pass — instead of writing
+        # NEG_SELECTED into the (kbn, N_pad) buffer (halves the VMEM traffic
+        # of what kernel_ablation.py measured as the dominant cost). The
+        # loop is unrolled (knn static) so Mosaic can pipeline the passes.
+        vl = il = None
         for k in range(knn):
-            a = jnp.where(row_ids == prev_first, NEG_SELECTED, aff[:])
-            if k < knn - 1:
-                aff[:] = a
-            m = jnp.max(a, axis=0, keepdims=True)  # (1, N_pad)
-            prev_first = jnp.min(
-                jnp.where(a == m, row_ids, kbn), axis=0, keepdims=True
+            if k == 0:
+                av = a
+            else:
+                elig = (a < vl) | ((a == vl) & (row_ids > il))
+                av = jnp.where(elig, a, NEG_SELECTED)
+            m = jnp.max(av, axis=0, keepdims=True)  # (1, N_pad)
+            il = jnp.min(
+                jnp.where(av == m, row_ids, kbn), axis=0, keepdims=True
             )
+            vl = m
             bvals[k, :] = m[0]
-            bidx[k, :] = prev_first[0] + blk * kbn
+            bidx[k, :] = il[0] + blk * kbn
 
-        if nblocks == 1:
-            # single block: block winners ARE the global winners
-            gvals[:] = bvals[:]
-            gidx[:] = bidx[:]
-        else:
-            @pl.when(blk == 0)
-            def _first_block():
-                gvals[:] = bvals[:]
-                gidx[:] = bidx[:]
+    def _denom():
+        # softmax normalizer over the global winners; same max-subtraction
+        # and ascending-k sum order as jax.nn.softmax on the XLA path
+        e = jnp.exp(gvals[0:knn, :] - gvals[0:1, :])
+        wvals[0:1, :] = jnp.sum(e, axis=0, keepdims=True)
 
-            @pl.when(blk > 0)
-            def _merge():
-                # merge block winners into the running global top-knn; concat
-                # order [running, block] keeps global index order on ties
-                cat_v = jnp.concatenate(
-                    [gvals[0:knn, :], bvals[0:knn, :]], axis=0
-                )
-                cat_i = jnp.concatenate(
-                    [gidx[0:knn, :], bidx[0:knn, :]], axis=0
-                )
-                cat_pos = jax.lax.broadcasted_iota(
-                    jnp.int32, (2 * knn, n_pad), 0
-                )
-                first = jnp.full((1, n_pad), -1, jnp.int32)
-                for j in range(knn):
-                    cat_v = jnp.where(cat_pos == first, NEG_SELECTED, cat_v)
-                    m = jnp.max(cat_v, axis=0, keepdims=True)
-                    first = jnp.min(
-                        jnp.where(cat_v == m, cat_pos, 2 * knn),
-                        axis=0, keepdims=True,
-                    )
-                    gvals[j, :] = m[0]
-                    gidx[j, :] = jnp.sum(
-                        jnp.where(cat_pos == first, cat_i, 0), axis=0
-                    )
-
-    # ---- phase 1: softmax once, scatter weights, one label matmul/block ----
-    @pl.when(phase == 1)
-    def _apply():
-        @pl.when(blk == 0)
-        def _softmax():
-            v = gvals[0:knn, :]
-            v = v - jnp.max(v, axis=0, keepdims=True)
-            e = jnp.exp(v)
-            wvals[0:knn, :] = e / jnp.sum(e, axis=0, keepdims=True)
-
-        # W[r, q] = sum_k w_k[q] * [global winner k of query q is row r of
-        # this block]; winners outside the block match no row. Unrolled and
-        # accumulated in registers per tile (single VMEM write of W).
-        w_acc = jnp.zeros((kbn, n_pad), jnp.float32)
-        for k in range(knn):
-            local = gidx[k : k + 1, :] - blk * kbn  # (1, N_pad)
-            w_k = wvals[k : k + 1, :]  # (1, N_pad)
-            w_acc = w_acc + jnp.where(row_ids == local, w_k, 0.0)
-        aff[:] = w_acc
+    def _apply(a):
+        # ONE-pass weight reconstruction: the selected set is exactly the
+        # rows lexicographically >= the k-th global winner (v_k, i_k); each
+        # winner's weight exp(a - v_1)/denom is bit-equal to softmax over
+        # the extracted values (a == its gvals entry: same dot, same ops).
+        v1 = gvals[0:1, :]
+        vk = gvals[knn - 1 : knn, :]
+        ik = gidx[knn - 1 : knn, :]
+        grow = row_ids + blk * kbn
+        sel = (a > vk) | ((a == vk) & (grow <= ik))
+        aff[:] = jnp.where(sel, jnp.exp(a - v1) / wvals[0:1, :], 0.0)
 
         contrib = jax.lax.dot_general(
             labels_ref[:],
@@ -286,13 +267,72 @@ def _prop_step_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )  # (M_pad, N_pad)
 
-        @pl.when(blk == 0)
-        def _set():
+        if single:
             pred_ref[:] = contrib
+        else:
+            @pl.when(blk == 0)
+            def _set():
+                pred_ref[:] = contrib
+
+            @pl.when(blk > 0)
+            def _acc():
+                pred_ref[:] = pred_ref[:] + contrib
+
+    if single:
+        # one grid step: the affinity is computed ONCE and reused as a live
+        # value through extraction and weight reconstruction
+        a = _affinity()
+        _find(a)
+        gvals[:] = bvals[:]
+        gidx[:] = bidx[:]
+        _denom()
+        _apply(a)
+        return
+
+    # ---- phase 0: affinity + read-only block top-k + merge ----
+    @pl.when(phase == 0)
+    def _p0():
+        _find(_affinity())
+
+        @pl.when(blk == 0)
+        def _first_block():
+            gvals[:] = bvals[:]
+            gidx[:] = bidx[:]
 
         @pl.when(blk > 0)
-        def _acc():
-            pred_ref[:] = pred_ref[:] + contrib
+        def _merge():
+            # merge block winners into the running global top-knn; concat
+            # order [running, block] keeps global index order on ties
+            cat_v = jnp.concatenate(
+                [gvals[0:knn, :], bvals[0:knn, :]], axis=0
+            )
+            cat_i = jnp.concatenate(
+                [gidx[0:knn, :], bidx[0:knn, :]], axis=0
+            )
+            cat_pos = jax.lax.broadcasted_iota(
+                jnp.int32, (2 * knn, n_pad), 0
+            )
+            first = jnp.full((1, n_pad), -1, jnp.int32)
+            for j in range(knn):
+                cat_v = jnp.where(cat_pos == first, NEG_SELECTED, cat_v)
+                m = jnp.max(cat_v, axis=0, keepdims=True)
+                first = jnp.min(
+                    jnp.where(cat_v == m, cat_pos, 2 * knn),
+                    axis=0, keepdims=True,
+                )
+                gvals[j, :] = m[0]
+                gidx[j, :] = jnp.sum(
+                    jnp.where(cat_pos == first, cat_i, 0), axis=0
+                )
+
+    # ---- phase 1: recompute the block affinity, reconstruct W, matmul ----
+    @pl.when(phase == 1)
+    def _p1():
+        @pl.when(blk == 0)
+        def _d():
+            _denom()
+
+        _apply(_affinity())
 
 
 def pad_mask(radius_mask_nn, N: int) -> jnp.ndarray:
@@ -328,22 +368,16 @@ def prop_step_pallas_prepadded(
         functools.partial(
             _prop_step_kernel, knn=knn, n_pad=n_pad, kb=kb, nblocks=nblocks
         ),
-        grid=(2, nblocks),
+        grid=(1, 1) if nblocks == 1 else (2, nblocks),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
-            # feats: walk blocks in phase 0, stay on the last block in
-            # phase 1 (no re-streaming of an unused input)
-            pl.BlockSpec(
-                (kb * n_pad, c_pad),
-                lambda p, b: ((1 - p) * b + p * (nblocks - 1), 0),
-            ),
+            # feats: walk blocks in BOTH phases (phase 1 recomputes the
+            # block affinity for the one-pass weight reconstruction)
+            pl.BlockSpec((kb * n_pad, c_pad), lambda p, b: (b, 0)),
             pl.BlockSpec((c_pad, n_pad), lambda p, b: (0, 0)),  # query
             pl.BlockSpec((n_pad, n_pad), lambda p, b: (0, 0)),  # mask
-            pl.BlockSpec(
-                (kb * n_pad, 1),
-                lambda p, b: ((1 - p) * b + p * (nblocks - 1), 0),
-            ),  # bias rows (phase 0 only, like feats)
+            pl.BlockSpec((kb * n_pad, 1), lambda p, b: (b, 0)),  # bias rows
             # labels: pinned to block 0 in phase 0, walk blocks in phase 1
             pl.BlockSpec((m_pad, kb * n_pad), lambda p, b: (0, p * b)),
         ],

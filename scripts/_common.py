@@ -15,6 +15,10 @@ import jax.numpy as jnp
 if os.environ.get("RSCRW_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
+from radar_sounder_crw_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def normalize_pair(v) -> tuple[int, int]:
     """Normalize (h, w)-style flags. The reference declares these flags
