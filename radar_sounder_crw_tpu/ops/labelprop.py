@@ -221,55 +221,49 @@ def _prop_step_chunked(
 
 def _prop_step_fused(
     mask_pad, temperature, knn, interpret, long_mem, cxt, kb, nblocks,
-    N, C, M, carry, q
+    N, carry, x
 ):
     """Fused-kernel variant of _prop_step (see labelprop_pallas.py).
 
     The ring buffer is carried in the KERNEL's padded layout — feats as
     (K_pad*N_pad, C_pad), labels transposed as (M_pad, K_pad*N_pad) — across
-    the whole scan, so the per-frame XLA work is two small pad ops and two
-    dynamic_update_slice writes instead of re-padding/copying the full
-    multi-MB context buffers every frame (round 2's dominant fixed cost,
-    ~0.3 ms/frame at the flagship configs)."""
-    from .labelprop_pallas import NEG_PAD, prop_step_pallas_prepadded
+    the whole scan, and every frame-varying kernel input (the transposed
+    query, the ring-push layout of the frame, the slot-validity bias
+    column) is precomputed for ALL frames outside the scan and delivered by
+    scan slicing. Per-frame XLA work is then exactly: the kernel call, two
+    dynamic_update_slice ring writes, and t+1 — round 2 spent ~0.3 ms/frame
+    re-padding the multi-MB context buffers, and the round-3 remainder was
+    this step's per-frame pad/transpose/zeroing ops."""
+    from .labelprop_pallas import prop_step_pallas_prepadded
 
-    f2d, labT, ring_written, t = carry
+    f2d, labT, t = carry
+    qT, qP, bias_rows = x
     n_pad = mask_pad.shape[0]
-    c_pad = f2d.shape[1]
     L = len(long_mem)
-    K = L + cxt
-    valid = _slot_validity(long_mem, cxt, ring_written, t)
-    sb = jnp.full((nblocks * kb, 1), NEG_PAD, jnp.float32)
-    sb = sb.at[:K, 0].set((1.0 - valid) * NEG_INVALID)
-    qT = jnp.zeros((c_pad, n_pad), jnp.float32).at[:C, :N].set(q.T)
     pred_pad = prop_step_pallas_prepadded(
-        f2d, qT, mask_pad, labT, sb, temperature, knn, kb, nblocks, interpret
-    )  # (M_pad, N_pad)
-    pred = pred_pad[:M, :N].T  # (N, M)
+        f2d, qT, mask_pad, labT, None, temperature, knn, kb, nblocks,
+        interpret, N, bias_rows,
+    )  # (M_pad, N_pad), padded query columns already zeroed in-kernel
 
-    # push frame t — same buffer policy as _push_frame, padded layout.
-    # Padded query columns produce finite garbage predictions; zero them so
-    # the stored slot labels stay clean (they are never selected anyway:
-    # padded candidate rows carry NEG_PAD mask).
+    # push frame t — same buffer policy as _push_frame, padded layout
     r = jnp.mod(t, cxt)
-    q_pad = jnp.zeros((n_pad, c_pad), jnp.float32).at[:N, :C].set(q)
-    pred_store = pred_pad.at[:, N:].set(0.0) if N < n_pad else pred_pad
-    f2d = jax.lax.dynamic_update_slice(f2d, q_pad, ((L + r) * n_pad, 0))
-    labT = jax.lax.dynamic_update_slice(labT, pred_store, (0, (L + r) * n_pad))
-    ring_written = ring_written.at[r].set(1.0)
+    f2d = jax.lax.dynamic_update_slice(f2d, qP, ((L + r) * n_pad, 0))
+    labT = jax.lax.dynamic_update_slice(labT, pred_pad, (0, (L + r) * n_pad))
     for j, fj in enumerate(long_mem):  # pin when its frame comes up
+        if fj == 0:
+            continue  # frame 0 was pinned at init; t >= 1 in the scan
         hit = t == fj
-        old_f = jax.lax.dynamic_slice(f2d, (j * n_pad, 0), (n_pad, c_pad))
+        old_f = jax.lax.dynamic_slice(f2d, (j * n_pad, 0), (n_pad, f2d.shape[1]))
         f2d = jax.lax.dynamic_update_slice(
-            f2d, jnp.where(hit, q_pad, old_f), (j * n_pad, 0)
+            f2d, jnp.where(hit, qP, old_f), (j * n_pad, 0)
         )
         old_l = jax.lax.dynamic_slice(
             labT, (0, j * n_pad), (labT.shape[0], n_pad)
         )
         labT = jax.lax.dynamic_update_slice(
-            labT, jnp.where(hit, pred_store, old_l), (0, j * n_pad)
+            labT, jnp.where(hit, pred_pad, old_l), (0, j * n_pad)
         )
-    return (f2d, labT, ring_written, t + 1), pred
+    return (f2d, labT, t + 1), pred_pad
 
 
 @partial(
@@ -415,19 +409,45 @@ def propagate_labels(
         n_pad, c_pad = _round_up(N, 128), _round_up(C, 128)
         m_pad = _round_up(M, 8)
         # padded-resident ring buffer (kernel layout; see _prop_step_fused)
-        emb0 = emb[0].astype(jnp.float32)
+        emb32 = emb.astype(jnp.float32)
+        emb0 = emb32[0]
         seedT = seed_labels.astype(jnp.float32).T
         f2d0 = jnp.zeros((k_pad * n_pad, c_pad), jnp.float32)
         labT0 = jnp.zeros((m_pad, k_pad * n_pad), jnp.float32)
         for s in [L] + pin0:
             f2d0 = f2d0.at[s * n_pad : s * n_pad + N, :C].set(emb0)
             labT0 = labT0.at[:M, s * n_pad : s * n_pad + N].set(seedT)
+        # every frame-varying kernel input, precomputed OUTSIDE the scan:
+        # transposed queries, ring-push frames, per-frame validity bias rows
+        embT_all = jnp.zeros((T - 1, c_pad, n_pad), jnp.float32)
+        embT_all = embT_all.at[:, :C, :N].set(jnp.transpose(emb32[1:], (0, 2, 1)))
+        embP_all = jnp.zeros((T - 1, n_pad, c_pad), jnp.float32)
+        embP_all = embP_all.at[:, :N, :C].set(emb32[1:])
+        ts = jnp.arange(1, T, dtype=jnp.int32)[:, None]
+        ring_valid = jnp.arange(cxt, dtype=jnp.int32)[None, :] < ts
+        if L:
+            pins = jnp.asarray(long_mem, jnp.int32)[None, :]
+            valid_all = jnp.concatenate([ts - pins > cxt, ring_valid], axis=1)
+        else:
+            valid_all = ring_valid
+        from .labelprop_pallas import NEG_PAD
+
+        sb_all = jnp.full((T - 1, k_pad), NEG_PAD, jnp.float32)
+        sb_all = sb_all.at[:, :K].set(
+            (1.0 - valid_all.astype(jnp.float32)) * NEG_INVALID
+        )
+        bias_all = jnp.broadcast_to(
+            sb_all[:, :, None], (T - 1, k_pad, n_pad)
+        ).reshape(T - 1, k_pad * n_pad, 1)
         step = partial(
             _prop_step_fused, pad_mask(mask, N), cfg.temperature, knn,
-            interp, long_mem, cxt, kb, nblocks, N, C, M,
+            interp, long_mem, cxt, kb, nblocks, N,
         )
-        carry0 = (f2d0, labT0, ring_written0, t0)
-        xs = emb[1:].astype(jnp.float32)
+        carry0 = (f2d0, labT0, t0)
+        _, ys = jax.lax.scan(step, carry0, (embT_all, embP_all, bias_all))
+        soft_rest = jnp.transpose(ys[:, :M, :N], (0, 2, 1))  # (T-1, N, M)
+        soft = jnp.concatenate([seed_labels[None], soft_rest], axis=0)
+        return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
     else:
         raise ValueError(f"unknown kernel {kernel!r}")
     _, soft_rest = jax.lax.scan(step, carry0, xs)

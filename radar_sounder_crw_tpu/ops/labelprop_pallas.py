@@ -138,15 +138,35 @@ def default_vmem_budget() -> int:
     return DEFAULT_VMEM_BUDGET
 
 
+def default_single_block_budget() -> int:
+    """Ceiling for the single-block fast path's working set. A single-block
+    plan runs one grid step — no block-transfer pipelining to preserve — so
+    it may use most of VMEM; the kernel switches to its in-place scratch
+    variant when the value path's live temporaries would not fit (see
+    prop_step_pallas_prepadded). v5e+ has 128 MB/core; unknown or older
+    chips keep the conservative multi-block budget."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return DEFAULT_VMEM_BUDGET
+    if any(g in kind for g in ("v5", "v6", "v7")):
+        return 100 * 2**20
+    return DEFAULT_VMEM_BUDGET
+
+
 def plan_blocks(
     K: int, N: int, C: int, M: int, knn: int,
     budget_bytes: int | None = None,
 ) -> int | None:
     """Largest per-grid-step slot-block size `kb` whose working set fits the
-    VMEM budget (default: `default_vmem_budget()` for the local device);
-    None if even kb=1 does not fit (fall back to XLA)."""
+    VMEM budget (default: `default_vmem_budget()` for the local device, with
+    the single-block fast path checked against the larger
+    `default_single_block_budget()`); None if even kb=1 does not fit (fall
+    back to XLA)."""
+    single_budget = budget_bytes
     if budget_bytes is None:
         budget_bytes = default_vmem_budget()
+        single_budget = default_single_block_budget()
     n_pad = _round_up(N, 128)
     c_pad = _round_up(C, 128)
     m_pad = _round_up(M, 8)
@@ -161,9 +181,10 @@ def plan_blocks(
         + 2 * 2 * knn_pad * n_pad
     )
     # single-block fast path: one affinity matmul, no block pipeline, so
-    # feats/labels are charged once
-    per_slot_single = 4 * n_pad * (c_pad + m_pad + n_pad)
-    if fixed + K * per_slot_single <= budget_bytes:
+    # feats/labels are charged once; worst case is the in-place variant's
+    # aff scratch + one affinity-sized transient
+    per_slot_single = 4 * n_pad * (c_pad + m_pad + 2 * n_pad)
+    if fixed + K * per_slot_single <= single_budget:
         return K
     # per-slot: feats + labels blocks (double-buffered by the pipeline) + aff
     per_slot = 4 * n_pad * (2 * c_pad + 2 * m_pad + n_pad)
@@ -180,18 +201,24 @@ def _prop_step_kernel(
     bias_ref,  # (kb*N_pad, 1) this block's per-candidate-row validity bias
     labels_ref,  # (M_pad, kb*N_pad) this block's transposed context soft labels
     pred_ref,  # out: (M_pad, N_pad) predicted soft labels
-    aff,  # scratch (kb*N_pad, N_pad): the reconstructed weight matrix W
-    bvals,  # scratch (KNN_PAD, N_pad): block winners' scores
-    bidx,  # scratch int32 (KNN_PAD, N_pad): block winners' global flat rows
-    gvals,  # scratch (KNN_PAD, N_pad): running global winners
-    gidx,  # scratch int32 (KNN_PAD, N_pad)
-    wvals,  # scratch (KNN_PAD, N_pad): row 0 = softmax denominator
-    *,
+    *scratch,  # bvals, bidx, gvals, gidx, wvals (+ aff when inplace)
     knn: int,
     n_pad: int,
     kb: int,
     nblocks: int,
+    n_real: int,
+    inplace: bool,
 ):
+    # bvals/gvals (KNN_PAD, N_pad): block/global winners' scores;
+    # bidx/gidx int32: their global flat rows; wvals row 0 = softmax
+    # denominator. `aff` (kb*N_pad, N_pad) exists only on the in-place
+    # path: the affinity written ONCE, transformed to the weight matrix W
+    # in place — big single-block plans would otherwise hold ~4
+    # affinity-sized live value temporaries and blow scoped VMEM.
+    if inplace:
+        bvals, bidx, gvals, gidx, wvals, aff = scratch
+    else:
+        bvals, bidx, gvals, gidx, wvals = scratch
     phase = pl.program_id(0)
     blk = pl.program_id(1)
     kbn = kb * n_pad
@@ -218,7 +245,7 @@ def _prop_step_kernel(
         a = a.reshape(kb, n_pad, n_pad) + mask_ref[:][None, :, :]
         return (a.reshape(kbn, n_pad) + bias_ref[:]) / temp_ref[0, 0]
 
-    def _find(a):
+    def _find(get_a):
         # extract this block's top-knn (value, global row); lowest row wins
         # ties. READ-ONLY: pass k excludes prior winners by a lexicographic
         # threshold against the last winner (v_last, i_last) — everything
@@ -226,8 +253,11 @@ def _prop_step_kernel(
         # NEG_SELECTED into the (kbn, N_pad) buffer (halves the VMEM traffic
         # of what kernel_ablation.py measured as the dominant cost). The
         # loop is unrolled (knn static) so Mosaic can pipeline the passes.
+        # get_a: () -> the block affinity (a live value, or a load from the
+        # in-place scratch).
         vl = il = None
         for k in range(knn):
+            a = get_a()
             if k == 0:
                 av = a
             else:
@@ -247,25 +277,39 @@ def _prop_step_kernel(
         e = jnp.exp(gvals[0:knn, :] - gvals[0:1, :])
         wvals[0:1, :] = jnp.sum(e, axis=0, keepdims=True)
 
-    def _apply(a):
+    def _apply(get_a):
         # ONE-pass weight reconstruction: the selected set is exactly the
         # rows lexicographically >= the k-th global winner (v_k, i_k); each
         # winner's weight exp(a - v_1)/denom is bit-equal to softmax over
         # the extracted values (a == its gvals entry: same dot, same ops).
+        # Value path: W stays a live value. In-place path: the scratch that
+        # holds the affinity is transformed to W tile-by-tile (read-modify-
+        # write of one ref — no affinity-sized temporaries).
         v1 = gvals[0:1, :]
         vk = gvals[knn - 1 : knn, :]
         ik = gidx[knn - 1 : knn, :]
         grow = row_ids + blk * kbn
+        a = get_a()
         sel = (a > vk) | ((a == vk) & (grow <= ik))
-        aff[:] = jnp.where(sel, jnp.exp(a - v1) / wvals[0:1, :], 0.0)
+        w = jnp.where(sel, jnp.exp(a - v1) / wvals[0:1, :], 0.0)
+        if inplace:
+            aff[:] = w
+            w = aff[:]
 
         contrib = jax.lax.dot_general(
             labels_ref[:],
-            aff[:],
+            w,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (M_pad, N_pad)
+        if n_real < n_pad:
+            # zero padded query columns here so callers that push pred into
+            # a label ring need no external cleanup pass (padded queries
+            # produce finite garbage; they are never selected as candidates
+            # but would otherwise persist in the ring)
+            cols = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
+            contrib = jnp.where(cols < n_real, contrib, 0.0)
 
         if single:
             pred_ref[:] = contrib
@@ -279,20 +323,27 @@ def _prop_step_kernel(
                 pred_ref[:] = pred_ref[:] + contrib
 
     if single:
-        # one grid step: the affinity is computed ONCE and reused as a live
-        # value through extraction and weight reconstruction
-        a = _affinity()
-        _find(a)
+        # one grid step: the affinity is computed ONCE and reused through
+        # extraction and weight reconstruction — as a live value when the
+        # working set is small, via the in-place scratch when it is not
+        if inplace:
+            aff[:] = _affinity()
+            get_a = lambda: aff[:]  # noqa: E731
+        else:
+            a = _affinity()
+            get_a = lambda: a  # noqa: E731
+        _find(get_a)
         gvals[:] = bvals[:]
         gidx[:] = bidx[:]
         _denom()
-        _apply(a)
+        _apply(get_a)
         return
 
     # ---- phase 0: affinity + read-only block top-k + merge ----
     @pl.when(phase == 0)
     def _p0():
-        _find(_affinity())
+        a0 = _affinity()
+        _find(lambda: a0)
 
         @pl.when(blk == 0)
         def _first_block():
@@ -332,7 +383,8 @@ def _prop_step_kernel(
         def _d():
             _denom()
 
-        _apply(_affinity())
+        a1 = _affinity()
+        _apply(lambda: a1)
 
 
 def pad_mask(radius_mask_nn, N: int) -> jnp.ndarray:
@@ -346,27 +398,54 @@ def pad_mask(radius_mask_nn, N: int) -> jnp.ndarray:
 
 def prop_step_pallas_prepadded(
     f2d, qT, mask_pad, labT, sb_col, temp, knn: int, kb: int, nblocks: int,
-    interpret: bool = False,
+    interpret: bool = False, n_real: int | None = None, bias_rows=None,
+    force_inplace: bool | None = None,
 ):
     """Raw fused step on inputs ALREADY in kernel layout (the propagation
     scan keeps its ring buffer in this layout, so no per-frame pad/copy):
     f2d (K_pad*N_pad, C_pad); qT (C_pad, N_pad); mask_pad (N_pad, N_pad) from
     `pad_mask`; labT (M_pad, K_pad*N_pad); sb_col (K_pad, 1) slot bias with
-    NEG_PAD on padded slots. Returns padded pred (M_pad, N_pad)."""
+    NEG_PAD on padded slots (ignored when a precomputed `bias_rows`
+    (K_pad*N_pad, 1) column is given — the scan precomputes these for every
+    frame outside the loop). Returns padded pred (M_pad, N_pad); with
+    n_real set, padded query columns come back zeroed (ready for a label
+    ring push)."""
     n_pad = mask_pad.shape[0]
     c_pad = qT.shape[0]
     m_pad = labT.shape[0]
     k_pad = nblocks * kb
     knn_pad = _round_up(knn, 8)
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
-    # per-slot bias -> per-candidate-row bias column (tiny: K_pad*N_pad ints)
-    bias_rows = jnp.broadcast_to(
-        sb_col.astype(jnp.float32), (k_pad, n_pad)
-    ).reshape(k_pad * n_pad, 1)
+    if bias_rows is None:
+        # per-slot bias -> per-candidate-row bias column (K_pad*N_pad x 1)
+        bias_rows = jnp.broadcast_to(
+            sb_col.astype(jnp.float32), (k_pad, n_pad)
+        ).reshape(k_pad * n_pad, 1)
+
+    # Value path holds ~4 affinity-sized live temporaries (a, sel, exp, W)
+    # plus the feats/labels blocks on the scoped-VMEM stack; when that
+    # estimate nears the 126 MB ceiling, switch the single-block kernel to
+    # the in-place scratch variant (measured: the MC3 single-block plan
+    # needs 126.68 MB on the value path — 700 KB over the limit).
+    kbn = kb * n_pad
+    value_est = 4 * (4 * kbn * n_pad + kbn * c_pad + m_pad * kbn)
+    inplace = nblocks == 1 and value_est > 96 * 2**20
+    if force_inplace is not None:
+        inplace = force_inplace and nblocks == 1
+    scratch = [
+        pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+        pltpu.VMEM((knn_pad, n_pad), jnp.int32),
+        pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+        pltpu.VMEM((knn_pad, n_pad), jnp.int32),
+        pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+    ]
+    if inplace:
+        scratch.append(pltpu.VMEM((kbn, n_pad), jnp.float32))
 
     return pl.pallas_call(
         functools.partial(
-            _prop_step_kernel, knn=knn, n_pad=n_pad, kb=kb, nblocks=nblocks
+            _prop_step_kernel, knn=knn, n_pad=n_pad, kb=kb, nblocks=nblocks,
+            n_real=n_pad if n_real is None else n_real, inplace=inplace,
         ),
         grid=(1, 1) if nblocks == 1 else (2, nblocks),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
@@ -382,27 +461,21 @@ def prop_step_pallas_prepadded(
             pl.BlockSpec((m_pad, kb * n_pad), lambda p, b: (0, p * b)),
         ],
         out_specs=pl.BlockSpec((m_pad, n_pad), lambda p, b: (0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((kb * n_pad, n_pad), jnp.float32),
-            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
-            pltpu.VMEM((knn_pad, n_pad), jnp.int32),
-            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
-            pltpu.VMEM((knn_pad, n_pad), jnp.int32),
-            pltpu.VMEM((knn_pad, n_pad), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 2**20,
+            vmem_limit_bytes=126 * 2**20,
         ),
         interpret=interpret,
     )(temp_arr, f2d, qT, mask_pad, bias_rows, labT)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("knn", "interpret", "vmem_budget")
+    jax.jit, static_argnames=("knn", "interpret", "vmem_budget", "force_inplace")
 )
 def prop_step_pallas(
     feats, query, radius_mask_nn, labels, slot_bias, temp, knn: int,
     interpret: bool = False, vmem_budget: int | None = None,
+    force_inplace: bool | None = None,
 ):
     """One fused propagation step on UNPADDED inputs (pads, calls the
     pre-padded kernel, unpads — the standalone/test entry point; the
@@ -437,7 +510,8 @@ def prop_step_pallas(
     sb = sb.at[:K, 0].set(slot_bias.astype(jnp.float32))
 
     pred = prop_step_pallas_prepadded(
-        f, q, mask, lab, sb, temp, knn, kb, nblocks, interpret
+        f, q, mask, lab, sb, temp, knn, kb, nblocks, interpret,
+        force_inplace=force_inplace,
     )
     return pred[:M, :N].T  # (N, M)
 

@@ -101,6 +101,30 @@ def test_single_step_mc3_scale(K, N, C, M, knn, budget):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)
 
 
+def test_single_block_inplace_variant_matches_value_path():
+    """The in-place scratch variant (used when a big single-block plan's
+    value-path temporaries would blow scoped VMEM, e.g. MC3 single-block on
+    v5e) is bit-identical to the value path and to the XLA step math."""
+    rng = np.random.default_rng(7)
+    K, N, C, M, knn = 9, 130, 64, 4, 6
+    feats = rng.standard_normal((K, N, C)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    query = rng.standard_normal((N, C)).astype(np.float32)
+    query /= np.linalg.norm(query, axis=-1, keepdims=True)
+    labels = rng.random((K, N, M)).astype(np.float32)
+    slot_bias = np.zeros((K,), np.float32)
+    mask_nn = radius_mask(N, 1, 25.0)
+    args = (
+        jnp.asarray(feats), jnp.asarray(query), jnp.asarray(mask_nn),
+        jnp.asarray(labels), jnp.asarray(slot_bias), 0.05, knn,
+    )
+    got_ip = prop_step_pallas(*args, interpret=True, force_inplace=True)
+    got_val = prop_step_pallas(*args, interpret=True, force_inplace=False)
+    np.testing.assert_array_equal(np.asarray(got_ip), np.asarray(got_val))
+    want = _xla_step_oracle(feats, query, mask_nn, labels, slot_bias, 0.05, knn)
+    np.testing.assert_allclose(np.asarray(got_ip), want, rtol=1e-4, atol=1e-6)
+
+
 def test_default_vmem_budget_is_device_aware(monkeypatch):
     """Planning budget scales with device generation: the conservative
     14 MB floor off-TPU/unknown, 28 MB on v5e+ (measured faster plans —
