@@ -8,8 +8,8 @@ Fuses the whole per-frame propagation step of ops/labelprop.py —
 affinity matrix and XLA's general sort-based top_k. Inference-only (label
 propagation takes no gradients), so no custom VJP is needed.
 
-Selection scheme (round 3, v2 — replaces both the round-2 per-winner label
-matmuls and the first round-3 two-phase scatter kernel):
+Selection scheme (round 3, v3 — replaces the round-2 per-winner label
+matmuls and both earlier round-3 schemes):
   * top-k extraction is READ-ONLY: pass k excludes the already-extracted
     winners by a lexicographic threshold against the last winner's
     (value, row) pair — `(a < v_last) | (a == v_last & row > i_last)` —
@@ -26,17 +26,30 @@ matmuls and the first round-3 two-phase scatter kernel):
     extracted values (the trick proven in the resident kernel).
 
 Grid shapes:
-  * single block (nblocks == 1 — SHARAD and every config the default VMEM
-    budget serves unblocked): grid (1, 1); the affinity is computed ONCE and
-    lives as a register/VMEM value through extraction and weight
-    reconstruction; one label matmul.
-  * tiled (nblocks > 1 — e.g. MC3): grid (2, nblocks). Phase 0 per block:
-    affinity + read-only block top-k + merge into the running global top-k
-    (scratch). Phase 1 per block: RECOMPUTE the block affinity (one extra
-    MXU matmul — cheaper than holding every block's affinity in VMEM),
-    reconstruct W, accumulate pred += labels_block @ W.
+  * single block (nblocks == 1 — the default on v5e+ for every flagship
+    config incl. MC3, via `default_single_block_budget`): grid (1, 1), one
+    affinity compute, one label matmul, no phases. Two sub-variants chosen
+    by working-set size: small plans keep the affinity as a live VALUE
+    through extraction and weight reconstruction; big plans (MC3) use the
+    IN-PLACE variant — affinity materialized once in scratch and
+    transformed to W in place, with the dot/mask/W passes walking slot
+    chunks through fori_loops (unrolled, the scheduler kept every chunk's
+    temporaries and the HIGHEST-matmul partial products live: ~100 MB of
+    register-spill slots in the OOM dump, and 10x the Mosaic compile time).
+  * tiled (nblocks > 1 — VMEM-constrained chips or explicit small budgets):
+    grid (2, nblocks). Phase 0 per block: affinity + read-only block top-k
+    + merge into the running global top-k (scratch). Phase 1 per block:
+    RECOMPUTE the block affinity (one extra MXU matmul — cheaper than
+    holding every block's affinity in VMEM), reconstruct W, accumulate
+    pred += labels_block @ W.
 Per-step VMEM is O(kb*N_pad*(C_pad+N_pad)) — `plan_blocks` picks the largest
 `kb` that fits the budget, so any (K, N) the XLA path serves runs fused too.
+
+Measured (v5e via the axon relay, 2026-08-17 r3, 100-frame sequences):
+MC3 (N=190, cxt=100, knn=20) 67.8 ms wall / 42.1 ms device-slope (r2:
+83.2 wall); SHARAD (N=113) 35.7 ms wall / 13.0 ms device-slope (r2: 42.6).
+Wall minus slope is the ~23-26 ms per-call host-fetch round-trip of this
+deployment's tunnel (benchmarks/bench_pallas_mc3.py, RSCRW_BENCH_SLOPE=1).
 
 Ordering/parity contract (bit-equal top-k with jax.lax.top_k + softmax):
   * within a block, extraction picks the lowest candidate index on ties;
@@ -251,10 +264,39 @@ def _prop_step_kernel(
         # threshold against the last winner (v_last, i_last) — everything
         # lex-greater was extracted on an earlier pass — instead of writing
         # NEG_SELECTED into the (kbn, N_pad) buffer (halves the VMEM traffic
-        # of what kernel_ablation.py measured as the dominant cost). The
-        # loop is unrolled (knn static) so Mosaic can pipeline the passes.
+        # of what kernel_ablation.py measured as the dominant cost).
         # get_a: () -> the block affinity (a live value, or a load from the
         # in-place scratch).
+        #
+        # Value path: unrolled (knn static) so Mosaic can pipeline. In-place
+        # path: a fori_loop — the passes are serially dependent anyway, and
+        # unrolling made the scheduler hold many affinity-sized temporaries
+        # on the scoped-VMEM stack (measured 113-128 MB at MC3 single-block
+        # depending on the vmem limit given; the one-body loop needs only
+        # one pass's temps).
+        if inplace:
+            def body(k, carry):
+                vl, il = carry
+                a = get_a()
+                elig = (a < vl) | ((a == vl) & (row_ids > il))
+                av = jnp.where(elig, a, NEG_SELECTED)
+                m = jnp.max(av, axis=0, keepdims=True)  # (1, N_pad)
+                iln = jnp.min(
+                    jnp.where(av == m, row_ids, kbn), axis=0, keepdims=True
+                )
+                bvals[pl.ds(k, 1), :] = m
+                bidx[pl.ds(k, 1), :] = iln + blk * kbn
+                return m, iln
+
+            # first pass: +inf threshold / row -1 -> everything eligible
+            jax.lax.fori_loop(
+                0, knn, body,
+                (
+                    jnp.full((1, n_pad), jnp.inf, jnp.float32),
+                    jnp.full((1, n_pad), -1, jnp.int32),
+                ),
+            )
+            return
         vl = il = None
         for k in range(knn):
             a = get_a()
@@ -288,13 +330,36 @@ def _prop_step_kernel(
         v1 = gvals[0:1, :]
         vk = gvals[knn - 1 : knn, :]
         ik = gidx[knn - 1 : knn, :]
-        grow = row_ids + blk * kbn
-        a = get_a()
-        sel = (a > vk) | ((a == vk) & (grow <= ik))
-        w = jnp.where(sel, jnp.exp(a - v1) / wvals[0:1, :], 0.0)
         if inplace:
-            aff[:] = w
+            # chunked in-place transform affinity -> W (see CH above). A
+            # fori_loop, NOT an unrolled chunk loop: unrolled, the compiler
+            # keeps every chunk's temporaries live and the register
+            # allocator spills ~100 MB of VMEM (measured; the "spill slots"
+            # allocation in the OOM dump).
+            def wchunk(c, g):
+                sl = pl.ds(g * n_pad, c * n_pad)
+                a_c = aff[sl, :]
+                grow_c = (
+                    jax.lax.broadcasted_iota(jnp.int32, (c * n_pad, n_pad), 0)
+                    + g * n_pad
+                )
+                sel_c = (a_c > vk) | ((a_c == vk) & (grow_c <= ik))
+                aff[sl, :] = jnp.where(
+                    sel_c, jnp.exp(a_c - v1) / wvals[0:1, :], 0.0
+                )
+
+            nfull = kb // CH
+            jax.lax.fori_loop(
+                0, nfull, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
+            )
+            if kb % CH:
+                wchunk(kb % CH, nfull * CH)
             w = aff[:]
+        else:
+            grow = row_ids + blk * kbn
+            a = get_a()
+            sel = (a > vk) | ((a == vk) & (grow <= ik))
+            w = jnp.where(sel, jnp.exp(a - v1) / wvals[0:1, :], 0.0)
 
         contrib = jax.lax.dot_general(
             labels_ref[:],
@@ -322,12 +387,47 @@ def _prop_step_kernel(
             def _acc():
                 pred_ref[:] = pred_ref[:] + contrib
 
+    # slots per chunk for the in-place path's read-modify-write passes:
+    # full-affinity value expressions would hold (kbn, N_pad)-sized
+    # temporaries on the scoped-VMEM stack (the big single-block plans sit
+    # within ~1 MB of the hardware ceiling — measured 127.98M vs 127.55M
+    # when the mask-add chain materialized at full size), so the in-place
+    # transforms walk static slot chunks with ~CH*N_pad^2-sized temps.
+    CH = 8
+
+    def _inplace_affinity():
+        # dot + mask + bias + temperature, computed and stored chunk-by-
+        # chunk through a fori_loop. Chunking the DOT matters as much as
+        # the elementwise ops: the HIGHEST-precision (6-pass bf16) matmul
+        # at full (kbn, N_pad) size holds several output-sized partial
+        # products — ~100 MB of register-allocator spill slots in the OOM
+        # dump — and unrolled chunk loops keep every chunk's temporaries
+        # live, which spills just as much.
+        def mchunk(c, g):
+            sl = pl.ds(g * n_pad, c * n_pad)
+            v = jnp.dot(
+                feats_ref[sl, :],
+                query_ref[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(c, n_pad, n_pad) + mask_ref[:][None, :, :]
+            aff[sl, :] = (
+                v.reshape(c * n_pad, n_pad) + bias_ref[sl, :]
+            ) / temp_ref[0, 0]
+
+        nfull = kb // CH
+        jax.lax.fori_loop(
+            0, nfull, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
+        )
+        if kb % CH:
+            mchunk(kb % CH, nfull * CH)
+
     if single:
         # one grid step: the affinity is computed ONCE and reused through
         # extraction and weight reconstruction — as a live value when the
         # working set is small, via the in-place scratch when it is not
         if inplace:
-            aff[:] = _affinity()
+            _inplace_affinity()
             get_a = lambda: aff[:]  # noqa: E731
         else:
             a = _affinity()
@@ -463,7 +563,7 @@ def prop_step_pallas_prepadded(
         out_specs=pl.BlockSpec((m_pad, n_pad), lambda p, b: (0, 0)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=126 * 2**20,
+            vmem_limit_bytes=92 * 2**20,
         ),
         interpret=interpret,
     )(temp_arr, f2d, qT, mask_pad, bias_rows, labT)
