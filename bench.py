@@ -195,6 +195,20 @@ def bench_train():
         mfu=round(mfu_k, 4) if mfu_k is not None else None,
     )
 
+    # device-slope step time: a k-step call costs fixed + k*step and a
+    # 1-step call fixed + step, so (t_k - t_1)/(k-1) differences out the
+    # per-dispatch host latency (~4 ms through this deployment's relay) —
+    # the throughput a production loop that pipelines dispatches sees
+    dt_dev = (dtk * K - dt) / (K - 1)
+    if dt_dev > 0:
+        mfu_dev = step_flops / dt_dev / peak if (step_flops and peak) else None
+        emit(
+            "crw_train_steps_per_sec_device", 1.0 / dt_dev,
+            "steps/s (device slope: (t_fused - t_single)/(k-1), same config)",
+            (1.0 / dt_dev) / anchor if anchor else None, kind,
+            mfu=round(mfu_dev, 4) if mfu_dev is not None else None,
+        )
+
 
 def _propagation_config(T, N, hw, nclasses, radius, temp):
     import jax

@@ -26,14 +26,21 @@ def _nearest_idx(out_size: int, in_size: int) -> np.ndarray:
 
 
 def resize_nearest(x, out_hw: tuple[int, int], axes: tuple[int, int] = (-2, -1)):
-    """Nearest resize along two axes, torch interpolate semantics."""
+    """Nearest resize along two axes, torch interpolate semantics.
+
+    numpy input stays numpy: this runs on tiny host-side seeds and
+    prediction maps, and `jnp.take` on a host array would ship it to the
+    default device and back — one ~28 ms relay round-trip per call in this
+    deployment (measured as the propagation pipeline's dominant fixed cost
+    outside the fused program). Gather indices are identical either way."""
     a0, a1 = axes
     h_in = x.shape[a0]
     w_in = x.shape[a1]
     ih = _nearest_idx(out_hw[0], h_in)
     iw = _nearest_idx(out_hw[1], w_in)
-    x = jnp.take(x, jnp.asarray(ih), axis=a0)
-    x = jnp.take(x, jnp.asarray(iw), axis=a1)
+    take = np.take if isinstance(x, np.ndarray) else jnp.take
+    x = take(x, ih, axis=a0)
+    x = take(x, iw, axis=a1)
     return x
 
 
