@@ -2,6 +2,14 @@
 floor (round-3: whole-pipeline MC3 is ~0.84 ms/frame and nearly
 knn-independent — so what costs 0.85 ms?).
 
+HISTORICAL: these variants and numbers ablate the EARLY-round-3 two-phase
+kernel (read-write extraction + per-winner scatter). They motivated the
+final round-3 scheme in ops/labelprop_pallas.py — read-only extraction,
+one-pass weight reconstruction, single-block in-place plans — which
+brought MC3 from ~0.50 to ~0.42 ms/frame device (see BASELINE.md). Kept
+as the measurement record; the phase split no longer matches the live
+kernel's structure.
+
 Each variant runs inside a 100-iteration lax.scan (carry = ring buffer,
 same DUS updates as the real pipeline) so per-dispatch overhead is
 excluded; timed warm, interleaved repeats, host-fetch of a dependent
