@@ -42,11 +42,17 @@ def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
     kernels = ["xla", "pallas"]
     if resident and os.environ.get("RSCRW_BENCH_RESIDENT"):
         kernels.append("pallas_resident")
+    # MEASUREMENT ORDER MATTERS through the remote-execution relay: one
+    # full-array jax.device_get before a timed loop degrades EVERY
+    # subsequent call in the process ~2-4.5x (measured: MC3 XLA 543 ms with
+    # a prior (T,N,M) soft fetch vs 128.7 ms with scalar-only fetches —
+    # deterministic, not noise). So: time ALL kernels with scalar fetches
+    # first, then fetch full outputs for the correctness checks at the end.
     out = {}
     for kernel in kernels:
         t0 = time.perf_counter()
         soft, pred = propagate_labels(emb_d, seed_d, cfg, None, kernel)
-        s = np.asarray(jax.device_get(soft))
+        _ = float(jax.device_get(soft[-1, 0, 0]))
         print(f"[{name}] {kernel} compile+run {time.perf_counter() - t0:.1f} s", flush=True)
         t0 = time.perf_counter()
         for _ in range(iters):
@@ -54,8 +60,23 @@ def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
             _ = float(jax.device_get(soft[-1, 0, 0]))
         dt = (time.perf_counter() - t0) / iters
         print(f"[{name}] {kernel}: {dt * 1e3:.1f} ms / {T}-frame propagation", flush=True)
-        out[kernel] = (s, np.asarray(jax.device_get(pred)), dt)
+        out[kernel] = [soft, pred, dt]
 
+    if os.environ.get("RSCRW_BENCH_SLOPE"):
+        _slope(name, T, N, emb, seed_d, cfg, out["pallas"][2], iters)
+
+    return name, kernels, out
+
+
+def validate(name, kernels, out):
+    """Full-array fetches + equality checks, run AFTER every timed loop in
+    the process (see the measurement-order note in run())."""
+    for kernel in kernels:
+        soft, pred, dt = out[kernel]
+        out[kernel] = (
+            np.asarray(jax.device_get(soft)),
+            np.asarray(jax.device_get(pred)), dt,
+        )
     for kernel in kernels[1:]:
         np.testing.assert_allclose(
             out[kernel][0], out["xla"][0], rtol=1e-4, atol=1e-6
@@ -65,35 +86,42 @@ def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
             f"[{name}] {kernel} == xla OK; speedup "
             f"{out['xla'][2] / out[kernel][2]:.2f}x", flush=True,
         )
-
-    if os.environ.get("RSCRW_BENCH_SLOPE"):
-        # per-frame DEVICE slope: time the fused kernel at 2T frames too and
-        # difference out every fixed per-call cost (the ~23-28 ms tunnel
-        # round-trip of the scalar fetch dominates the wall numbers above at
-        # the SHARAD scale; production serving amortizes it by pipelining)
-        emb2 = np.concatenate([emb, emb], axis=0)
-        emb2 /= np.linalg.norm(emb2, axis=-1, keepdims=True)
-        emb2_d = jnp.asarray(emb2)
-        soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
-        float(jax.device_get(soft[-1, 0, 0]))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
-            _ = float(jax.device_get(soft[-1, 0, 0]))
-        dt2 = (time.perf_counter() - t0) / iters
-        slope = (dt2 - out["pallas"][2]) / T
-        print(
-            f"[{name}] pallas device slope: {slope * 1e6:.0f} us/frame "
-            f"({slope * T * 1e3:.1f} ms / {T} frames device; "
-            f"fixed per-call {max(out['pallas'][2] - slope * T, 0) * 1e3:.1f} ms)",
-            flush=True,
-        )
     return out
+
+
+def _slope(name, T, N, emb, seed_d, cfg, t_base, iters):
+    # per-frame DEVICE slope: time the fused kernel at 2T frames too and
+    # difference out every fixed per-call cost (the ~23-28 ms tunnel
+    # round-trip of the scalar fetch dominates the wall numbers above at
+    # the SHARAD scale; production serving amortizes it by pipelining)
+    emb2 = np.concatenate([emb, emb], axis=0)
+    emb2 /= np.linalg.norm(emb2, axis=-1, keepdims=True)
+    emb2_d = jnp.asarray(emb2)
+    soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
+    float(jax.device_get(soft[-1, 0, 0]))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
+        _ = float(jax.device_get(soft[-1, 0, 0]))
+    dt2 = (time.perf_counter() - t0) / iters
+    slope = (dt2 - t_base) / T
+    print(
+        f"[{name}] pallas device slope: {slope * 1e6:.0f} us/frame "
+        f"({slope * T * 1e3:.1f} ms / {T} frames device; "
+        f"fixed per-call {max(t_base - slope * T, 0) * 1e3:.1f} ms)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
     # MC3 flagship: patch 32x32, overlap (30,0) -> N=190; cxt 100, knn 20
-    run("MC3", T=100, N=190, C=128, M=6, ctx=100, radius=60, temp=0.01, knn=20)
-    # SHARAD (round-1 regime, for continuity with BASELINE.md numbers)
-    run("SHARAD", T=100, N=113, C=128, M=5, ctx=100, radius=10, temp=0.1, knn=20)
+    results = [
+        run("MC3", T=100, N=190, C=128, M=6, ctx=100, radius=60,
+            temp=0.01, knn=20),
+        # SHARAD (round-1 regime, for continuity with BASELINE.md numbers)
+        run("SHARAD", T=100, N=113, C=128, M=5, ctx=100, radius=10,
+            temp=0.1, knn=20),
+    ]
+    for r in results:
+        validate(*r)

@@ -45,11 +45,13 @@ Grid shapes:
 Per-step VMEM is O(kb*N_pad*(C_pad+N_pad)) — `plan_blocks` picks the largest
 `kb` that fits the budget, so any (K, N) the XLA path serves runs fused too.
 
-Measured (v5e via the axon relay, 2026-08-17 r3, 100-frame sequences):
-MC3 (N=190, cxt=100, knn=20) 67.8 ms wall / 42.1 ms device-slope (r2:
-83.2 wall); SHARAD (N=113) 35.7 ms wall / 13.0 ms device-slope (r2: 42.6).
-Wall minus slope is the ~23-26 ms per-call host-fetch round-trip of this
-deployment's tunnel (benchmarks/bench_pallas_mc3.py, RSCRW_BENCH_SLOPE=1).
+Measured (v5e via the axon relay, 2026-08-17 r3, 100-frame sequences,
+clean measurement order — see BASELINE.md's measurement-order note):
+MC3 (N=190, cxt=100, knn=20) 71.7 ms wall / 41.8 ms device-slope vs the
+XLA path's 126.4 ms (r2 kernel: 83.2 wall); SHARAD (N=113) 37.4 ms wall /
+14.7 ms device-slope vs 55.5 (r2: 42.6). Wall minus slope is the
+~23-30 ms per-call host-fetch round-trip of this deployment's tunnel
+(benchmarks/bench_pallas_mc3.py, RSCRW_BENCH_SLOPE=1).
 
 Ordering/parity contract (bit-equal top-k with jax.lax.top_k + softmax):
   * within a block, extraction picks the lowest candidate index on ties;
