@@ -238,30 +238,31 @@ def _prop_step_fused(
 
     f2d, labT, t = carry
     qT, qP, bias_rows = x
-    n_pad = mask_pad.shape[0]
+    n_rows = mask_pad.shape[0]  # candidate rows per slot (round_up(N, 8))
     L = len(long_mem)
     pred_pad = prop_step_pallas_prepadded(
         f2d, qT, mask_pad, labT, None, temperature, knn, kb, nblocks,
         interpret, N, bias_rows,
-    )  # (M_pad, N_pad), padded query columns already zeroed in-kernel
+    )  # (M_pad, N_lanes), padded query columns already zeroed in-kernel
+    pred_store = pred_pad[:, :n_rows]  # ring stores N_rows label columns
 
     # push frame t — same buffer policy as _push_frame, padded layout
     r = jnp.mod(t, cxt)
-    f2d = jax.lax.dynamic_update_slice(f2d, qP, ((L + r) * n_pad, 0))
-    labT = jax.lax.dynamic_update_slice(labT, pred_pad, (0, (L + r) * n_pad))
+    f2d = jax.lax.dynamic_update_slice(f2d, qP, ((L + r) * n_rows, 0))
+    labT = jax.lax.dynamic_update_slice(labT, pred_store, (0, (L + r) * n_rows))
     for j, fj in enumerate(long_mem):  # pin when its frame comes up
         if fj == 0:
             continue  # frame 0 was pinned at init; t >= 1 in the scan
         hit = t == fj
-        old_f = jax.lax.dynamic_slice(f2d, (j * n_pad, 0), (n_pad, f2d.shape[1]))
+        old_f = jax.lax.dynamic_slice(f2d, (j * n_rows, 0), (n_rows, f2d.shape[1]))
         f2d = jax.lax.dynamic_update_slice(
-            f2d, jnp.where(hit, qP, old_f), (j * n_pad, 0)
+            f2d, jnp.where(hit, qP, old_f), (j * n_rows, 0)
         )
         old_l = jax.lax.dynamic_slice(
-            labT, (0, j * n_pad), (labT.shape[0], n_pad)
+            labT, (0, j * n_rows), (labT.shape[0], n_rows)
         )
         labT = jax.lax.dynamic_update_slice(
-            labT, jnp.where(hit, pred_pad, old_l), (0, j * n_pad)
+            labT, jnp.where(hit, pred_store, old_l), (0, j * n_rows)
         )
     return (f2d, labT, t + 1), pred_pad
 
@@ -406,22 +407,24 @@ def propagate_labels(
             )
         nblocks = -(-K // kb)
         k_pad = nblocks * kb
-        n_pad, c_pad = _round_up(N, 128), _round_up(C, 128)
+        n_rows, n_lanes = _round_up(N, 8), _round_up(N, 128)
+        c_pad = _round_up(C, 128)
         m_pad = _round_up(M, 8)
-        # padded-resident ring buffer (kernel layout; see _prop_step_fused)
+        # padded-resident ring buffer (kernel layout; see _prop_step_fused —
+        # candidate rows pad to 8, only the query axis pads to 128 lanes)
         emb32 = emb.astype(jnp.float32)
         emb0 = emb32[0]
         seedT = seed_labels.astype(jnp.float32).T
-        f2d0 = jnp.zeros((k_pad * n_pad, c_pad), jnp.float32)
-        labT0 = jnp.zeros((m_pad, k_pad * n_pad), jnp.float32)
+        f2d0 = jnp.zeros((k_pad * n_rows, c_pad), jnp.float32)
+        labT0 = jnp.zeros((m_pad, k_pad * n_rows), jnp.float32)
         for s in [L] + pin0:
-            f2d0 = f2d0.at[s * n_pad : s * n_pad + N, :C].set(emb0)
-            labT0 = labT0.at[:M, s * n_pad : s * n_pad + N].set(seedT)
+            f2d0 = f2d0.at[s * n_rows : s * n_rows + N, :C].set(emb0)
+            labT0 = labT0.at[:M, s * n_rows : s * n_rows + N].set(seedT)
         # every frame-varying kernel input, precomputed OUTSIDE the scan:
         # transposed queries, ring-push frames, per-frame validity bias rows
-        embT_all = jnp.zeros((T - 1, c_pad, n_pad), jnp.float32)
+        embT_all = jnp.zeros((T - 1, c_pad, n_lanes), jnp.float32)
         embT_all = embT_all.at[:, :C, :N].set(jnp.transpose(emb32[1:], (0, 2, 1)))
-        embP_all = jnp.zeros((T - 1, n_pad, c_pad), jnp.float32)
+        embP_all = jnp.zeros((T - 1, n_rows, c_pad), jnp.float32)
         embP_all = embP_all.at[:, :N, :C].set(emb32[1:])
         ts = jnp.arange(1, T, dtype=jnp.int32)[:, None]
         ring_valid = jnp.arange(cxt, dtype=jnp.int32)[None, :] < ts
@@ -437,8 +440,8 @@ def propagate_labels(
             (1.0 - valid_all.astype(jnp.float32)) * NEG_INVALID
         )
         bias_all = jnp.broadcast_to(
-            sb_all[:, :, None], (T - 1, k_pad, n_pad)
-        ).reshape(T - 1, k_pad * n_pad, 1)
+            sb_all[:, :, None], (T - 1, k_pad, n_rows)
+        ).reshape(T - 1, k_pad * n_rows, 1)
         step = partial(
             _prop_step_fused, pad_mask(mask, N), cfg.temperature, knn,
             interp, long_mem, cxt, kb, nblocks, N,

@@ -45,12 +45,18 @@ Grid shapes:
 Per-step VMEM is O(kb*N_pad*(C_pad+N_pad)) — `plan_blocks` picks the largest
 `kb` that fits the budget, so any (K, N) the XLA path serves runs fused too.
 
-Measured (v5e via the axon relay, 2026-08-17 r3, 100-frame sequences,
-clean measurement order — see BASELINE.md's measurement-order note):
-MC3 (N=190, cxt=100, knn=20) 71.7 ms wall / 41.8 ms device-slope vs the
-XLA path's 126.4 ms (r2 kernel: 83.2 wall); SHARAD (N=113) 37.4 ms wall /
-14.7 ms device-slope vs 55.5 (r2: 42.6). Wall minus slope is the
-~23-30 ms per-call host-fetch round-trip of this deployment's tunnel
+Layout (round 3 final): the candidate-row axis pads each slot to
+round_up(N, 8) ROWS (sublane alignment), while only the query axis pads to
+round_up(N, 128) LANES — lane-padding the rows, as earlier rounds did,
+multiplied every extraction/mask/W pass by n_lanes/n_rows (1.33x at MC3,
+2.3x at the full-survey config N=50).
+
+Measured (v5e via the axon relay, 2026-08-18 r3 final, 100-frame
+sequences, clean measurement order — see BASELINE.md's measurement-order
+note): MC3 (N=190, cxt=100, knn=20) 50.0 ms wall / 27.2 ms device-slope
+vs the XLA path's 122.0 ms (r2 kernel: 83.2 wall); SHARAD (N=113) 34.8 ms
+wall / 12.8 ms device-slope vs 51.5 (r2: 42.6). Wall minus slope is the
+~22-23 ms per-call host-fetch round-trip of this deployment's tunnel
 (benchmarks/bench_pallas_mc3.py, RSCRW_BENCH_SLOPE=1).
 
 Ordering/parity contract (bit-equal top-k with jax.lax.top_k + softmax):
@@ -63,14 +69,12 @@ Ordering/parity contract (bit-equal top-k with jax.lax.top_k + softmax):
     exactly like the XLA path's masked fills (their softmax weight underflows
     to 0, so they contribute nothing).
 
-Layout: context slots are padded to N_pad rows each, so the flat candidate
-axis is K_pad*N_pad — every per-slot slice is sublane-aligned, and the
-radius mask + per-slot validity bias are applied in-kernel from an
-(N_pad, N_pad) mask and a (K_pad, 1) slot-bias vector. Labels ride
-transposed as (M_pad, K_pad*N_pad) so the class axis sits on sublanes.
-Block index maps pin feats to their last block during phase 1 and labels to
-block 0 during phase 0, so neither input is re-streamed in the phase that
-does not use it.
+The flat candidate axis is therefore K_pad*N_rows; the radius mask +
+per-slot validity bias are applied in-kernel from an (N_rows, N_lanes)
+mask and a per-candidate-row bias column. Labels ride transposed as
+(M_pad, K_pad*N_rows) so the class axis sits on sublanes. In the tiled
+grid, labels are pinned to block 0 during phase 0 so they are not
+re-streamed in the phase that does not use them.
 """
 
 from __future__ import annotations
@@ -182,27 +186,28 @@ def plan_blocks(
     if budget_bytes is None:
         budget_bytes = default_vmem_budget()
         single_budget = default_single_block_budget()
-    n_pad = _round_up(N, 128)
+    n_rows = _round_up(N, 8)  # candidate rows per slot (sublane-aligned)
+    n_lanes = _round_up(N, 128)  # query lanes
     c_pad = _round_up(C, 128)
     m_pad = _round_up(M, 8)
     knn_pad = _round_up(max(knn, 1), 8)
     # fixed tensors: query, mask, pred, top-k state (block+global value/idx
     # pairs + softmax weights), merge concat transients (values + indices)
     fixed = 4 * (
-        c_pad * n_pad
-        + n_pad * n_pad
-        + m_pad * n_pad
-        + 5 * knn_pad * n_pad
-        + 2 * 2 * knn_pad * n_pad
+        c_pad * n_lanes
+        + n_rows * n_lanes
+        + m_pad * n_lanes
+        + 5 * knn_pad * n_lanes
+        + 2 * 2 * knn_pad * n_lanes
     )
     # single-block fast path: one affinity matmul, no block pipeline, so
     # feats/labels are charged once; worst case is the in-place variant's
     # aff scratch + one affinity-sized transient
-    per_slot_single = 4 * n_pad * (c_pad + m_pad + 2 * n_pad)
+    per_slot_single = 4 * n_rows * (c_pad + m_pad + 2 * n_lanes)
     if fixed + K * per_slot_single <= single_budget:
         return K
     # per-slot: feats + labels blocks (double-buffered by the pipeline) + aff
-    per_slot = 4 * n_pad * (2 * c_pad + 2 * m_pad + n_pad)
+    per_slot = 4 * n_rows * (2 * c_pad + 2 * m_pad + n_lanes)
     if fixed + per_slot > budget_bytes:
         return None
     return max(1, min(K, (budget_bytes - fixed) // per_slot))
@@ -210,23 +215,30 @@ def plan_blocks(
 
 def _prop_step_kernel(
     temp_ref,  # (1, 1) SMEM: temperature
-    feats_ref,  # (kb*N_pad, C_pad) this block's slot-padded context features
-    query_ref,  # (C_pad, N_pad) current frame features, transposed
-    mask_ref,  # (N_pad, N_pad) radius mask (+NEG_PAD on padding rows)
-    bias_ref,  # (kb*N_pad, 1) this block's per-candidate-row validity bias
-    labels_ref,  # (M_pad, kb*N_pad) this block's transposed context soft labels
-    pred_ref,  # out: (M_pad, N_pad) predicted soft labels
+    feats_ref,  # (kb*N_rows, C_pad) this block's slot-padded context features
+    query_ref,  # (C_pad, N_lanes) current frame features, transposed
+    mask_ref,  # (N_rows, N_lanes) radius mask (+NEG_PAD on padding rows)
+    bias_ref,  # (kb*N_rows, 1) this block's per-candidate-row validity bias
+    labels_ref,  # (M_pad, kb*N_rows) this block's transposed context soft labels
+    pred_ref,  # out: (M_pad, N_lanes) predicted soft labels
     *scratch,  # bvals, bidx, gvals, gidx, wvals (+ aff when inplace)
     knn: int,
-    n_pad: int,
+    n_rows: int,
+    n_lanes: int,
     kb: int,
     nblocks: int,
     n_real: int,
     inplace: bool,
 ):
-    # bvals/gvals (KNN_PAD, N_pad): block/global winners' scores;
+    # The candidate-row axis pads each slot to N_rows = round_up(N, 8) —
+    # sublane alignment only, NOT 128: rows are the axis every extraction
+    # pass walks, so lane-padding them (as rounds 1-2 did) multiplied the
+    # dominant per-frame cost by n_lanes/n_rows (2.3x at the survey config
+    # N=50, 1.33x at MC3 N=190). Only the query axis needs 128 lanes.
+    #
+    # bvals/gvals (KNN_PAD, N_lanes): block/global winners' scores;
     # bidx/gidx int32: their global flat rows; wvals row 0 = softmax
-    # denominator. `aff` (kb*N_pad, N_pad) exists only on the in-place
+    # denominator. `aff` (kb*N_rows, N_lanes) exists only on the in-place
     # path: the affinity written ONCE, transformed to the weight matrix W
     # in place — big single-block plans would otherwise hold ~4
     # affinity-sized live value temporaries and blow scoped VMEM.
@@ -236,9 +248,9 @@ def _prop_step_kernel(
         bvals, bidx, gvals, gidx, wvals = scratch
     phase = pl.program_id(0)
     blk = pl.program_id(1)
-    kbn = kb * n_pad
+    kbn = kb * n_rows
     single = nblocks == 1
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kbn, n_pad), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kbn, n_lanes), 0)
 
     def _affinity():
         # HIGHEST precision: plain f32 dots lower to bf16 MXU passes on TPU,
@@ -257,8 +269,8 @@ def _prop_step_kernel(
         # reciprocal): bit-equal with the XLA path's `aff / temperature` —
         # x*(1/t) differs by ulps for non-power-of-two temperatures,
         # enough to flip top-k ties.
-        a = a.reshape(kb, n_pad, n_pad) + mask_ref[:][None, :, :]
-        return (a.reshape(kbn, n_pad) + bias_ref[:]) / temp_ref[0, 0]
+        a = a.reshape(kb, n_rows, n_lanes) + mask_ref[:][None, :, :]
+        return (a.reshape(kbn, n_lanes) + bias_ref[:]) / temp_ref[0, 0]
 
     def _find(get_a):
         # extract this block's top-knn (value, global row); lowest row wins
@@ -282,7 +294,7 @@ def _prop_step_kernel(
                 a = get_a()
                 elig = (a < vl) | ((a == vl) & (row_ids > il))
                 av = jnp.where(elig, a, NEG_SELECTED)
-                m = jnp.max(av, axis=0, keepdims=True)  # (1, N_pad)
+                m = jnp.max(av, axis=0, keepdims=True)  # (1, N_lanes)
                 iln = jnp.min(
                     jnp.where(av == m, row_ids, kbn), axis=0, keepdims=True
                 )
@@ -294,8 +306,8 @@ def _prop_step_kernel(
             jax.lax.fori_loop(
                 0, knn, body,
                 (
-                    jnp.full((1, n_pad), jnp.inf, jnp.float32),
-                    jnp.full((1, n_pad), -1, jnp.int32),
+                    jnp.full((1, n_lanes), jnp.inf, jnp.float32),
+                    jnp.full((1, n_lanes), -1, jnp.int32),
                 ),
             )
             return
@@ -307,7 +319,7 @@ def _prop_step_kernel(
             else:
                 elig = (a < vl) | ((a == vl) & (row_ids > il))
                 av = jnp.where(elig, a, NEG_SELECTED)
-            m = jnp.max(av, axis=0, keepdims=True)  # (1, N_pad)
+            m = jnp.max(av, axis=0, keepdims=True)  # (1, N_lanes)
             il = jnp.min(
                 jnp.where(av == m, row_ids, kbn), axis=0, keepdims=True
             )
@@ -339,11 +351,13 @@ def _prop_step_kernel(
             # allocator spills ~100 MB of VMEM (measured; the "spill slots"
             # allocation in the OOM dump).
             def wchunk(c, g):
-                sl = pl.ds(g * n_pad, c * n_pad)
+                sl = pl.ds(g * n_rows, c * n_rows)
                 a_c = aff[sl, :]
                 grow_c = (
-                    jax.lax.broadcasted_iota(jnp.int32, (c * n_pad, n_pad), 0)
-                    + g * n_pad
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (c * n_rows, n_lanes), 0
+                    )
+                    + g * n_rows
                 )
                 sel_c = (a_c > vk) | ((a_c == vk) & (grow_c <= ik))
                 aff[sl, :] = jnp.where(
@@ -369,8 +383,8 @@ def _prop_step_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (M_pad, N_pad)
-        if n_real < n_pad:
+        )  # (M_pad, N_lanes)
+        if n_real < n_lanes:
             # zero padded query columns here so callers that push pred into
             # a label ring need no external cleanup pass (padded queries
             # produce finite garbage; they are never selected as candidates
@@ -390,7 +404,7 @@ def _prop_step_kernel(
                 pred_ref[:] = pred_ref[:] + contrib
 
     # slots per chunk for the in-place path's read-modify-write passes:
-    # full-affinity value expressions would hold (kbn, N_pad)-sized
+    # full-affinity value expressions would hold (kbn, N_lanes)-sized
     # temporaries on the scoped-VMEM stack (the big single-block plans sit
     # within ~1 MB of the hardware ceiling — measured 127.98M vs 127.55M
     # when the mask-add chain materialized at full size), so the in-place
@@ -406,15 +420,15 @@ def _prop_step_kernel(
         # dump — and unrolled chunk loops keep every chunk's temporaries
         # live, which spills just as much.
         def mchunk(c, g):
-            sl = pl.ds(g * n_pad, c * n_pad)
+            sl = pl.ds(g * n_rows, c * n_rows)
             v = jnp.dot(
                 feats_ref[sl, :],
                 query_ref[:],
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            ).reshape(c, n_pad, n_pad) + mask_ref[:][None, :, :]
+            ).reshape(c, n_rows, n_lanes) + mask_ref[:][None, :, :]
             aff[sl, :] = (
-                v.reshape(c * n_pad, n_pad) + bias_ref[sl, :]
+                v.reshape(c * n_rows, n_lanes) + bias_ref[sl, :]
             ) / temp_ref[0, 0]
 
         nfull = kb // CH
@@ -463,9 +477,9 @@ def _prop_step_kernel(
                 [gidx[0:knn, :], bidx[0:knn, :]], axis=0
             )
             cat_pos = jax.lax.broadcasted_iota(
-                jnp.int32, (2 * knn, n_pad), 0
+                jnp.int32, (2 * knn, n_lanes), 0
             )
-            first = jnp.full((1, n_pad), -1, jnp.int32)
+            first = jnp.full((1, n_lanes), -1, jnp.int32)
             for j in range(knn):
                 cat_v = jnp.where(cat_pos == first, NEG_SELECTED, cat_v)
                 m = jnp.max(cat_v, axis=0, keepdims=True)
@@ -490,11 +504,13 @@ def _prop_step_kernel(
 
 
 def pad_mask(radius_mask_nn, N: int) -> jnp.ndarray:
-    """(N, N) additive radius mask -> (N_pad, N_pad) kernel layout (padded
-    candidate rows NEG_PAD, padded query columns 0). Frame-invariant: built
-    once outside the propagation scan."""
-    n_pad = _round_up(N, 128)
-    mask = jnp.full((n_pad, n_pad), NEG_PAD, jnp.float32)
+    """(N, N) additive radius mask -> (N_rows, N_lanes) kernel layout
+    (padded candidate ROWS to round_up(N, 8) with NEG_PAD, padded query
+    LANES to round_up(N, 128) with 0 — see the row/lane note in
+    _prop_step_kernel). Frame-invariant: built once outside the scan."""
+    n_rows = _round_up(N, 8)
+    n_lanes = _round_up(N, 128)
+    mask = jnp.full((n_rows, n_lanes), NEG_PAD, jnp.float32)
     return mask.at[:N, :].set(0.0).at[:N, :N].set(radius_mask_nn)
 
 
@@ -505,64 +521,65 @@ def prop_step_pallas_prepadded(
 ):
     """Raw fused step on inputs ALREADY in kernel layout (the propagation
     scan keeps its ring buffer in this layout, so no per-frame pad/copy):
-    f2d (K_pad*N_pad, C_pad); qT (C_pad, N_pad); mask_pad (N_pad, N_pad) from
-    `pad_mask`; labT (M_pad, K_pad*N_pad); sb_col (K_pad, 1) slot bias with
-    NEG_PAD on padded slots (ignored when a precomputed `bias_rows`
-    (K_pad*N_pad, 1) column is given — the scan precomputes these for every
-    frame outside the loop). Returns padded pred (M_pad, N_pad); with
-    n_real set, padded query columns come back zeroed (ready for a label
-    ring push)."""
-    n_pad = mask_pad.shape[0]
+    f2d (K_pad*N_rows, C_pad); qT (C_pad, N_lanes); mask_pad
+    (N_rows, N_lanes) from `pad_mask`; labT (M_pad, K_pad*N_rows); sb_col
+    (K_pad, 1) slot bias with NEG_PAD on padded slots (ignored when a
+    precomputed `bias_rows` (K_pad*N_rows, 1) column is given — the scan
+    precomputes these for every frame outside the loop). Returns padded
+    pred (M_pad, N_lanes); with n_real set, padded query columns come back
+    zeroed (ready for a label ring push)."""
+    n_rows, n_lanes = mask_pad.shape
     c_pad = qT.shape[0]
     m_pad = labT.shape[0]
     k_pad = nblocks * kb
     knn_pad = _round_up(knn, 8)
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
     if bias_rows is None:
-        # per-slot bias -> per-candidate-row bias column (K_pad*N_pad x 1)
+        # per-slot bias -> per-candidate-row bias column (K_pad*N_rows x 1)
         bias_rows = jnp.broadcast_to(
-            sb_col.astype(jnp.float32), (k_pad, n_pad)
-        ).reshape(k_pad * n_pad, 1)
+            sb_col.astype(jnp.float32), (k_pad, n_rows)
+        ).reshape(k_pad * n_rows, 1)
 
     # Value path holds ~4 affinity-sized live temporaries (a, sel, exp, W)
     # plus the feats/labels blocks on the scoped-VMEM stack; when that
     # estimate nears the 126 MB ceiling, switch the single-block kernel to
     # the in-place scratch variant (measured: the MC3 single-block plan
     # needs 126.68 MB on the value path — 700 KB over the limit).
-    kbn = kb * n_pad
-    value_est = 4 * (4 * kbn * n_pad + kbn * c_pad + m_pad * kbn)
+    kbn = kb * n_rows
+    value_est = 4 * (4 * kbn * n_lanes + kbn * c_pad + m_pad * kbn)
     inplace = nblocks == 1 and value_est > 96 * 2**20
     if force_inplace is not None:
         inplace = force_inplace and nblocks == 1
     scratch = [
-        pltpu.VMEM((knn_pad, n_pad), jnp.float32),
-        pltpu.VMEM((knn_pad, n_pad), jnp.int32),
-        pltpu.VMEM((knn_pad, n_pad), jnp.float32),
-        pltpu.VMEM((knn_pad, n_pad), jnp.int32),
-        pltpu.VMEM((knn_pad, n_pad), jnp.float32),
+        pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+        pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
+        pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+        pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
+        pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
     ]
     if inplace:
-        scratch.append(pltpu.VMEM((kbn, n_pad), jnp.float32))
+        scratch.append(pltpu.VMEM((kbn, n_lanes), jnp.float32))
 
     return pl.pallas_call(
         functools.partial(
-            _prop_step_kernel, knn=knn, n_pad=n_pad, kb=kb, nblocks=nblocks,
-            n_real=n_pad if n_real is None else n_real, inplace=inplace,
+            _prop_step_kernel, knn=knn, n_rows=n_rows, n_lanes=n_lanes,
+            kb=kb, nblocks=nblocks,
+            n_real=n_lanes if n_real is None else n_real, inplace=inplace,
         ),
         grid=(1, 1) if nblocks == 1 else (2, nblocks),
-        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_lanes), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
             # feats: walk blocks in BOTH phases (phase 1 recomputes the
             # block affinity for the one-pass weight reconstruction)
-            pl.BlockSpec((kb * n_pad, c_pad), lambda p, b: (b, 0)),
-            pl.BlockSpec((c_pad, n_pad), lambda p, b: (0, 0)),  # query
-            pl.BlockSpec((n_pad, n_pad), lambda p, b: (0, 0)),  # mask
-            pl.BlockSpec((kb * n_pad, 1), lambda p, b: (b, 0)),  # bias rows
+            pl.BlockSpec((kb * n_rows, c_pad), lambda p, b: (b, 0)),
+            pl.BlockSpec((c_pad, n_lanes), lambda p, b: (0, 0)),  # query
+            pl.BlockSpec((n_rows, n_lanes), lambda p, b: (0, 0)),  # mask
+            pl.BlockSpec((kb * n_rows, 1), lambda p, b: (b, 0)),  # bias rows
             # labels: pinned to block 0 in phase 0, walk blocks in phase 1
-            pl.BlockSpec((m_pad, kb * n_pad), lambda p, b: (0, p * b)),
+            pl.BlockSpec((m_pad, kb * n_rows), lambda p, b: (0, p * b)),
         ],
-        out_specs=pl.BlockSpec((m_pad, n_pad), lambda p, b: (0, 0)),
+        out_specs=pl.BlockSpec((m_pad, n_lanes), lambda p, b: (0, 0)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=92 * 2**20,
@@ -591,7 +608,7 @@ def prop_step_pallas(
     """
     K, N, C = feats.shape
     M = labels.shape[-1]
-    n_pad = _round_up(N, 128)
+    n_rows = _round_up(N, 8)
     c_pad = _round_up(C, 128)
     m_pad = _round_up(M, 8)
     kb = plan_blocks(K, N, C, M, knn, vmem_budget)
@@ -602,12 +619,13 @@ def prop_step_pallas(
     nblocks = -(-K // kb)
     k_pad = nblocks * kb
 
-    f = jnp.zeros((k_pad, n_pad, c_pad), jnp.float32).at[:K, :N, :C].set(feats)
-    f = f.reshape(k_pad * n_pad, c_pad)
-    q = jnp.zeros((c_pad, n_pad), jnp.float32).at[:C, :N].set(query.T)
+    f = jnp.zeros((k_pad, n_rows, c_pad), jnp.float32).at[:K, :N, :C].set(feats)
+    f = f.reshape(k_pad * n_rows, c_pad)
+    n_lanes = _round_up(N, 128)
+    q = jnp.zeros((c_pad, n_lanes), jnp.float32).at[:C, :N].set(query.T)
     mask = pad_mask(radius_mask_nn, N)
-    lab = jnp.zeros((k_pad, n_pad, m_pad), jnp.float32).at[:K, :N, :M].set(labels)
-    lab = lab.reshape(k_pad * n_pad, m_pad).T  # (M_pad, K_pad*N_pad)
+    lab = jnp.zeros((k_pad, n_rows, m_pad), jnp.float32).at[:K, :N, :M].set(labels)
+    lab = lab.reshape(k_pad * n_rows, m_pad).T  # (M_pad, K_pad*N_rows)
     sb = jnp.full((k_pad, 1), NEG_PAD, jnp.float32)
     sb = sb.at[:K, 0].set(slot_bias.astype(jnp.float32))
 
@@ -763,7 +781,10 @@ def propagate_all_pallas(
     emb0 = jnp.zeros((n_pad, c_pad), jnp.float32).at[:N, :C].set(emb[0])
     seedT = jnp.zeros((m_pad, n_pad), jnp.float32)
     seedT = seedT.at[:M, :N].set(seed_labels.astype(jnp.float32).T)
-    mask = pad_mask(radius_mask_nn, N)
+    # this legacy kernel keeps the square lane-padded candidate layout
+    # (pad_mask now builds the per-frame kernel's rectangular rows/lanes one)
+    mask = jnp.full((n_pad, n_pad), NEG_PAD, jnp.float32)
+    mask = mask.at[:N, :].set(0.0).at[:N, :N].set(radius_mask_nn)
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
     soft = pl.pallas_call(

@@ -31,8 +31,10 @@ def make_inputs(T, N, C, M, seed=0):
         (8, 16, 32, 4, 5, 5, 3, None),  # trimming active, single block
         (6, 16, 32, 4, 10, 4, 3, None),  # no trimming
         (5, 12, 16, 5, 3, 100, 6, None),  # radius covers everything
-        (6, 16, 32, 4, 9, 5, 4, 1 << 19),  # tiny budget: forces many blocks
+        (6, 16, 32, 4, 9, 5, 4, 1 << 18),  # tiny budget: forces many blocks
         (4, 190, 32, 6, 6, 60, 5, None),  # MC3 grid: N=190 > 128 (padded 256)
+        (4, 128, 16, 3, 3, 50, 4, None),  # N multiple of 128: rows == lanes
+        (5, 5, 16, 3, 3, 2, 2, None),  # tiny N: rows 8 vs lanes 128
     ],
 )
 def test_fused_kernel_matches_xla(T, N, C, M, ctx, radius, knn, budget):
