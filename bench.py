@@ -141,7 +141,11 @@ def bench_train():
     for _ in range(2):
         state, loss = trainer._step(state, seq_dev, w_dev)
     _ = float(jax.device_get(loss))
-    iters = int(os.environ.get("RSCRW_BENCH_ITERS", "8"))
+    # 64 iters so the ONE final honest fetch (~28 ms through this
+    # deployment's relay) amortizes to <0.5 ms/step; at the old 8 iters the
+    # fetch alone inflated the step by ~3.5 ms (measured: 17.6 ms/step at 8
+    # iters -> 14.4 at 64 vs 13.9 ms device time in the profiler trace).
+    iters = int(os.environ.get("RSCRW_BENCH_ITERS", "64"))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = trainer._step(state, seq_dev, w_dev)
