@@ -8,6 +8,19 @@ Fuses the whole per-frame propagation step of ops/labelprop.py —
 affinity matrix and XLA's general sort-based top_k. Inference-only (label
 propagation takes no gradients), so no custom VJP is needed.
 
+Valid-prefix bounding (late round 3): at frame t only L + min(t, cxt) ring
+slots hold context (ops/labelprop.py:_slot_validity) — the leading half of
+a T ~= cxt run sees a mostly-empty ring, yet the static kernel swept all
+K slots every frame. Single-block plans now take a `nslots` scalar (SMEM)
+and walk only the valid slot PREFIX through dynamic-trip-count fori_loops:
+affinity + W-transform in SLOT_CHUNK chunks, the knn extraction passes in
+kb/FIND_GROUPS groups (coarser: the passes dominate and pay per-group loop
++ lex-merge overhead). The W tail is zero-filled so the static full-width
+labels matmul adds exactly 0.0 for skipped rows; skipped candidates are
+NEG_INVALID-biased, i.e. their selection weight underflows to exactly 0.0
+either way, so the output is BIT-equal to the full sweep (tested, incl.
+knn > valid-candidate-count and tie-heavy values).
+
 Selection scheme (round 3, v3 — replaces the round-2 per-winner label
 matmuls and both earlier round-3 schemes):
   * top-k extraction is READ-ONLY: pass k excludes the already-extracted
@@ -80,6 +93,7 @@ re-streamed in the phase that does not use them.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +104,15 @@ NEG_PAD = -1e30  # padding rows/slots: below every real candidate, no fp32 overf
 NEG_SELECTED = -jnp.inf  # already-extracted winners: below everything
 NEG_INVALID_F = -1e12  # unwritten ring slots (== labelprop.NEG_INVALID)
 DEFAULT_VMEM_BUDGET = 14 * 2**20  # conservative floor (~16 MB/core chips)
+SLOT_CHUNK = 8  # slots per in-place chunk pass; single-block plans pad the
+# slot axis to a SLOT_CHUNK multiple so dynamic chunk loops never straddle
+# the buffer end (see the valid-prefix bounding note in _prop_step_kernel)
+# extraction groups on the dynamic path: the knn passes pay per-group loop
+# + merge overhead, so they walk kb/FIND_GROUPS-slot groups instead of
+# SLOT_CHUNK-sized chunks. Must divide every kb (kb % 8 == 0 on dynamic
+# plans, so 1/2/4/8 are always safe). RSCRW_FIND_GROUPS overrides for
+# benchmarking.
+FIND_GROUPS = int(os.environ.get("RSCRW_FIND_GROUPS", "4"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -202,10 +225,14 @@ def plan_blocks(
     )
     # single-block fast path: one affinity matmul, no block pipeline, so
     # feats/labels are charged once; worst case is the in-place variant's
-    # aff scratch + one affinity-sized transient
+    # aff scratch + one affinity-sized transient. The slot axis rounds up
+    # to a SLOT_CHUNK multiple so the valid-prefix chunk loops (dynamic
+    # trip counts) always walk full chunks; the extra slots ride as
+    # NEG_PAD-biased padding like any k_pad > K slot.
+    k_single = _round_up(K, SLOT_CHUNK)
     per_slot_single = 4 * n_rows * (c_pad + m_pad + 2 * n_lanes)
-    if fixed + K * per_slot_single <= single_budget:
-        return K
+    if fixed + k_single * per_slot_single <= single_budget:
+        return k_single
     # per-slot: feats + labels blocks (double-buffered by the pipeline) + aff
     per_slot = 4 * n_rows * (2 * c_pad + 2 * m_pad + n_lanes)
     if fixed + per_slot > budget_bytes:
@@ -215,6 +242,8 @@ def plan_blocks(
 
 def _prop_step_kernel(
     temp_ref,  # (1, 1) SMEM: temperature
+    nslots_ref,  # (1, 1) SMEM int32: valid slot-prefix count (dynamic path;
+    # carries kb — i.e. "all" — when the static path is compiled)
     feats_ref,  # (kb*N_rows, C_pad) this block's slot-padded context features
     query_ref,  # (C_pad, N_lanes) current frame features, transposed
     mask_ref,  # (N_rows, N_lanes) radius mask (+NEG_PAD on padding rows)
@@ -229,6 +258,7 @@ def _prop_step_kernel(
     nblocks: int,
     n_real: int,
     inplace: bool,
+    dynamic: bool,
 ):
     # The candidate-row axis pads each slot to N_rows = round_up(N, 8) —
     # sublane alignment only, NOT 128: rows are the axis every extraction
@@ -327,13 +357,73 @@ def _prop_step_kernel(
             bvals[k, :] = m[0]
             bidx[k, :] = il[0] + blk * kbn
 
+    def _find_bounded(ns):
+        """Dynamic valid-prefix extraction (single-block in-place path):
+        every pass walks only the extraction groups that hold this frame's
+        valid slots — at frame t only L + min(t, cxt) ring slots carry
+        candidates (ops/labelprop.py:_slot_validity); the rest are
+        NEG_INVALID-biased, i.e. weight exactly 0, so skipping them is
+        bit-exact (their exp(a - v1) underflows to 0.0f either way). Group
+        winners lex-merge (value desc, global row asc) into the running
+        winner, preserving lax.top_k tie order.
+
+        Groups are COARSE — kb/FIND_GROUPS slots, not the SLOT_CHUNK-sized
+        affinity chunks: the knn passes are the dominant per-frame cost and
+        fine chunks pay knn*nch loop iterations plus a per-chunk iota
+        rebuild (measured: +~100 us/frame at full MC3 context vs the static
+        full-array passes). The base iota is hoisted out of both loops."""
+        ce = kb // FIND_GROUPS  # slots per group (kb % FIND_GROUPS == 0)
+        cerows = ce * n_rows
+        ng = (ns + ce - 1) // ce  # valid groups (dynamic)
+        base_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (cerows, n_lanes), 0
+        )
+
+        def pass_body(k, carry):
+            vl, il = carry
+
+            def group_body(c, run):
+                m_run, i_run = run
+                a_c = aff[pl.ds(c * cerows, cerows), :]
+                grow = base_iota + c * cerows
+                elig = (a_c < vl) | ((a_c == vl) & (grow > il))
+                av = jnp.where(elig, a_c, NEG_SELECTED)
+                mc = jnp.max(av, axis=0, keepdims=True)
+                ic = jnp.min(
+                    jnp.where(av == mc, grow, kbn), axis=0, keepdims=True
+                )
+                better = (mc > m_run) | ((mc == m_run) & (ic < i_run))
+                return (
+                    jnp.where(better, mc, m_run),
+                    jnp.where(better, ic, i_run),
+                )
+
+            m, iln = jax.lax.fori_loop(
+                0, ng, group_body,
+                (
+                    jnp.full((1, n_lanes), NEG_SELECTED, jnp.float32),
+                    jnp.full((1, n_lanes), kbn, jnp.int32),
+                ),
+            )
+            bvals[pl.ds(k, 1), :] = m
+            bidx[pl.ds(k, 1), :] = iln  # single-block: blk == 0
+            return m, iln
+
+        jax.lax.fori_loop(
+            0, knn, pass_body,
+            (
+                jnp.full((1, n_lanes), jnp.inf, jnp.float32),
+                jnp.full((1, n_lanes), -1, jnp.int32),
+            ),
+        )
+
     def _denom():
         # softmax normalizer over the global winners; same max-subtraction
         # and ascending-k sum order as jax.nn.softmax on the XLA path
         e = jnp.exp(gvals[0:knn, :] - gvals[0:1, :])
         wvals[0:1, :] = jnp.sum(e, axis=0, keepdims=True)
 
-    def _apply(get_a):
+    def _apply(get_a, nch_dyn=None):
         # ONE-pass weight reconstruction: the selected set is exactly the
         # rows lexicographically >= the k-th global winner (v_k, i_k); each
         # winner's weight exp(a - v_1)/denom is bit-equal to softmax over
@@ -364,12 +454,20 @@ def _prop_step_kernel(
                     sel_c, jnp.exp(a_c - v1) / wvals[0:1, :], 0.0
                 )
 
-            nfull = kb // CH
-            jax.lax.fori_loop(
-                0, nfull, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
-            )
-            if kb % CH:
-                wchunk(kb % CH, nfull * CH)
+            if nch_dyn is None:
+                nfull = kb // CH
+                jax.lax.fori_loop(
+                    0, nfull, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
+                )
+                if kb % CH:
+                    wchunk(kb % CH, nfull * CH)
+            else:
+                # valid-prefix W transform; the tail chunks were zero-filled
+                # at affinity time, so the full-width labels matmul below
+                # adds exactly 0.0 for every skipped row
+                jax.lax.fori_loop(
+                    0, nch_dyn, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
+                )
             w = aff[:]
         else:
             grow = row_ids + blk * kbn
@@ -411,7 +509,7 @@ def _prop_step_kernel(
     # transforms walk static slot chunks with ~CH*N_pad^2-sized temps.
     CH = 8
 
-    def _inplace_affinity():
+    def _inplace_affinity(nch_dyn=None):
         # dot + mask + bias + temperature, computed and stored chunk-by-
         # chunk through a fori_loop. Chunking the DOT matters as much as
         # the elementwise ops: the HIGHEST-precision (6-pass bf16) matmul
@@ -431,17 +529,70 @@ def _prop_step_kernel(
                 v.reshape(c * n_rows, n_lanes) + bias_ref[sl, :]
             ) / temp_ref[0, 0]
 
-        nfull = kb // CH
+        if nch_dyn is None:
+            nfull = kb // CH
+            jax.lax.fori_loop(
+                0, nfull, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
+            )
+            if kb % CH:
+                mchunk(kb % CH, nfull * CH)
+            return
+        # dynamic valid-prefix: compute the valid chunks, zero-fill the W
+        # tail (scratch persistence across kernel calls is not guaranteed,
+        # and the static labels matmul reads the full buffer as weights)
         jax.lax.fori_loop(
-            0, nfull, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
+            0, nch_dyn, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
         )
-        if kb % CH:
-            mchunk(kb % CH, nfull * CH)
+        zeros_chunk = jnp.zeros((CH * n_rows, n_lanes), jnp.float32)
+
+        def zchunk(i, _):
+            aff[pl.ds(i * CH * n_rows, CH * n_rows), :] = zeros_chunk
+            return 0
+
+        jax.lax.fori_loop(nch_dyn, kb // CH, zchunk, 0)
 
     if single:
         # one grid step: the affinity is computed ONCE and reused through
         # extraction and weight reconstruction — as a live value when the
         # working set is small, via the in-place scratch when it is not
+        if dynamic:
+            # valid-prefix bounding (requires the in-place scratch and a
+            # SLOT_CHUNK-multiple kb): affinity, extraction and the W
+            # transform walk only the slots valid at this frame. min_slots
+            # keeps >= knn candidate rows in range so the k-th winner
+            # threshold stays finite (the all-rows-selected failure mode of
+            # vk == -inf); results are bit-equal to the static kernel —
+            # skipped candidates have selection weight exactly 0.0.
+            min_slots = -(-knn // n_rows)
+            ns = jnp.clip(nslots_ref[0, 0], min_slots, kb)
+            # the affinity/W chunk loops must cover every slot the coarse
+            # extraction groups read: round the covered prefix up to the
+            # extraction-group extent first, then to affinity chunks
+            ce = kb // FIND_GROUPS
+            ns_cover = ((ns + ce - 1) // ce) * ce
+            nch = (ns_cover + CH - 1) // CH
+            _inplace_affinity(nch)
+            get_a = lambda: aff[:]  # noqa: E731
+
+            # extraction: grouped passes pay per-group loop + lex-merge
+            # overhead — measured ~25% over the static full-array passes at
+            # saturated context — so once the valid prefix covers every
+            # slot (t >= cxt: the entire back half of a T > cxt run), run
+            # the static extraction instead. Winners are identical: the
+            # grouped merge reproduces global (value desc, row asc) order.
+            @pl.when(ns_cover < kb)
+            def _bounded():
+                _find_bounded(ns)
+
+            @pl.when(ns_cover >= kb)
+            def _full():
+                _find(get_a)
+
+            gvals[:] = bvals[:]
+            gidx[:] = bidx[:]
+            _denom()
+            _apply(get_a, nch)
+            return
         if inplace:
             _inplace_affinity()
             get_a = lambda: aff[:]  # noqa: E731
@@ -517,7 +668,7 @@ def pad_mask(radius_mask_nn, N: int) -> jnp.ndarray:
 def prop_step_pallas_prepadded(
     f2d, qT, mask_pad, labT, sb_col, temp, knn: int, kb: int, nblocks: int,
     interpret: bool = False, n_real: int | None = None, bias_rows=None,
-    force_inplace: bool | None = None,
+    force_inplace: bool | None = None, nslots=None,
 ):
     """Raw fused step on inputs ALREADY in kernel layout (the propagation
     scan keeps its ring buffer in this layout, so no per-frame pad/copy):
@@ -527,7 +678,16 @@ def prop_step_pallas_prepadded(
     precomputed `bias_rows` (K_pad*N_rows, 1) column is given — the scan
     precomputes these for every frame outside the loop). Returns padded
     pred (M_pad, N_lanes); with n_real set, padded query columns come back
-    zeroed (ready for a label ring push)."""
+    zeroed (ready for a label ring push).
+
+    nslots: optional traced int32 scalar — the count of slots in the valid
+    PREFIX of the ring at this frame (L + min(t, cxt); everything beyond is
+    NEG_INVALID-biased, weight exactly 0). Single-block plans then run the
+    dynamic valid-prefix kernel: affinity/extraction/W walk only ceil(
+    nslots/SLOT_CHUNK) chunks — the ~2x average saving over a T ~= cxt run
+    that the static kernel spends on not-yet-written ring slots. Output is
+    bit-equal to nslots=None. Requires kb % SLOT_CHUNK == 0 (plan_blocks
+    pads single-block plans); ignored on multi-block grids."""
     n_rows, n_lanes = mask_pad.shape
     c_pad = qT.shape[0]
     m_pad = labT.shape[0]
@@ -550,6 +710,17 @@ def prop_step_pallas_prepadded(
     inplace = nblocks == 1 and value_est > 96 * 2**20
     if force_inplace is not None:
         inplace = force_inplace and nblocks == 1
+    dynamic = (
+        nslots is not None and nblocks == 1 and kb % SLOT_CHUNK == 0
+        and force_inplace is not False
+    )
+    if dynamic:
+        inplace = True  # the valid-prefix loops walk the aff scratch
+    nslots_arr = (
+        jnp.reshape(nslots.astype(jnp.int32), (1, 1))
+        if dynamic
+        else jnp.full((1, 1), kb, jnp.int32)
+    )
     scratch = [
         pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
         pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
@@ -565,11 +736,13 @@ def prop_step_pallas_prepadded(
             _prop_step_kernel, knn=knn, n_rows=n_rows, n_lanes=n_lanes,
             kb=kb, nblocks=nblocks,
             n_real=n_lanes if n_real is None else n_real, inplace=inplace,
+            dynamic=dynamic,
         ),
         grid=(1, 1) if nblocks == 1 else (2, nblocks),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_lanes), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # nslots (valid prefix)
             # feats: walk blocks in BOTH phases (phase 1 recomputes the
             # block affinity for the one-pass weight reconstruction)
             pl.BlockSpec((kb * n_rows, c_pad), lambda p, b: (b, 0)),
@@ -585,7 +758,7 @@ def prop_step_pallas_prepadded(
             vmem_limit_bytes=92 * 2**20,
         ),
         interpret=interpret,
-    )(temp_arr, f2d, qT, mask_pad, bias_rows, labT)
+    )(temp_arr, nslots_arr, f2d, qT, mask_pad, bias_rows, labT)
 
 
 @functools.partial(
@@ -594,7 +767,7 @@ def prop_step_pallas_prepadded(
 def prop_step_pallas(
     feats, query, radius_mask_nn, labels, slot_bias, temp, knn: int,
     interpret: bool = False, vmem_budget: int | None = None,
-    force_inplace: bool | None = None,
+    force_inplace: bool | None = None, nslots=None,
 ):
     """One fused propagation step on UNPADDED inputs (pads, calls the
     pre-padded kernel, unpads — the standalone/test entry point; the
@@ -632,6 +805,7 @@ def prop_step_pallas(
     pred = prop_step_pallas_prepadded(
         f, q, mask, lab, sb, temp, knn, kb, nblocks, interpret,
         force_inplace=force_inplace,
+        nslots=None if nslots is None else jnp.asarray(nslots, jnp.int32),
     )
     return pred[:M, :N].T  # (N, M)
 

@@ -127,6 +127,34 @@ def test_single_block_inplace_variant_matches_value_path():
     np.testing.assert_allclose(np.asarray(got_ip), want, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("nv", [2, 3, 7, 12])
+def test_dynamic_valid_prefix_is_bit_equal(nv):
+    """The dynamic valid-prefix kernel (nslots set — the propagation scan's
+    mode: affinity/extraction/W walk only the L + min(t, cxt) valid slots)
+    is BIT-equal to the full static sweep, including when knn exceeds the
+    valid candidate count (the k-th winner threshold then comes from padding
+    instead of invalid slots — both weight exactly 0) and on tie-heavy
+    values (rounded to 1 decimal)."""
+    rng = np.random.default_rng(11)
+    K, N, C, M, knn = 12, 5, 8, 3, 20  # knn > nv*N for small nv
+    feats = np.round(rng.standard_normal((K, N, C)), 1).astype(np.float32)
+    query = np.round(rng.standard_normal((N, C)), 1).astype(np.float32)
+    labels = rng.random((K, N, M)).astype(np.float32)
+    slot_bias = np.where(np.arange(K) < nv, 0.0, -1e12).astype(np.float32)
+    mask_nn = radius_mask(N, 1, 3.0)
+    args = (
+        jnp.asarray(feats), jnp.asarray(query), jnp.asarray(mask_nn),
+        jnp.asarray(labels), jnp.asarray(slot_bias), 0.07, knn,
+    )
+    full = prop_step_pallas(*args, interpret=True)
+    bounded = prop_step_pallas(*args, interpret=True, nslots=nv)
+    np.testing.assert_array_equal(np.asarray(bounded), np.asarray(full))
+    want = _xla_step_oracle(
+        feats, query, mask_nn, labels, slot_bias, 0.07, knn
+    )
+    np.testing.assert_allclose(np.asarray(bounded), want, rtol=1e-4, atol=1e-6)
+
+
 def test_default_vmem_budget_is_device_aware(monkeypatch):
     """Planning budget scales with device generation: the conservative
     14 MB floor off-TPU/unknown, 28 MB on v5e+ (measured faster plans —
