@@ -11,10 +11,14 @@ Emits ONE JSON line PER metric {"metric", "value", "unit", "vs_baseline", ...}:
      PropagationPipeline (encode + xent + seed + 100-frame fused propagation)
      at the reference test_all defaults (T=100, N=113, cxt 100, knn 20;
      reference timing hook scripts/test/test_all.py:182).
-  3. propagation_latency_ms_mc3 — the same pipeline at the MC3 flagship
+  3. interactive_reseed_ms — per-refinement latency of re-seeding a frame
+     through the cached device-resident embeddings (scripts/annotate.py's
+     steady state; the reference re-runs the encoder per propagate() call,
+     src/utils.py:111-115, so its anchor is the full seed->map latency).
+  4. propagation_latency_ms_mc3 — the same pipeline at the MC3 flagship
      config (N=190, 32x32 patches, radius 60; reference
      scripts/test/test_mc3.py:20-33).
-  4. full_survey_radargrams_per_sec — batched propagation over every
+  5. full_survey_radargrams_per_sec — batched propagation over every
      stride-T window of the synthetic Miguel flight line in ONE sharded
      device program (BASELINE.json config 5), windows gathered on-device
      from a once-uploaded radargram.
@@ -275,6 +279,44 @@ def bench_propagation():
     )
 
 
+def bench_interactive_reseed():
+    """Interactive refinement latency (north star: "annotator seeds flow
+    interactively"): after one seed->map call, re-seed a mid-sequence frame
+    through the cached device-resident embeddings — only propagation (+ the
+    host fetch) reruns. The reference has no such path: an annotator pays a
+    full propagate() (encoder included, reference src/utils.py:111-115) per
+    refinement, so the anchor is the reference's full seed->map latency."""
+    import time
+
+    pipe, seq, seg = _propagation_config(
+        T=100, N=113, hw=(16, 16), nclasses=5, radius=10, temp=0.1
+    )
+    import jax
+    import jax.numpy as jnp
+
+    seq_dev = jax.device_put(jnp.asarray(seq))
+    pipe(seq_dev, seg, detect_change=False)  # fill the embedding cache
+    # steady-state scrub: tails 60/52/56/62/50 all pad to ONE 64-frame
+    # bucket (bucket=16), so the loop times refinement, not compilation
+    frames = (40, 48, 44, 38, 50)
+    pipe.reseed(seg, frames[0])  # warmup/compile for the bucket
+    t0 = time.perf_counter()
+    for f in frames:
+        res = pipe.reseed(seg, f)
+    dt = (time.perf_counter() - t0) / len(frames)
+    assert res.prediction.shape[1] == 100
+    ms = dt * 1e3
+    print(f"interactive_reseed_ms {ms:.1f} ms", file=sys.stderr)
+    anchor, kind = read_anchor(
+        "reference_propagation_ms", "reference_cpu_torch_propagation_ms"
+    )
+    emit(
+        "interactive_reseed_ms", ms,
+        "ms per re-seed refinement (cached embeddings, T=100, N=113, incl. host fetch)",
+        anchor / ms if anchor else None, kind,
+    )
+
+
 def bench_propagation_mc3():
     """MC3 flagship config (reference scripts/test/test_mc3.py:20-33 —
     32x32 patches, overlap (30,0) -> N=190, radius 60, temp 0.01)."""
@@ -369,6 +411,7 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     bench_train()
     bench_propagation()
+    bench_interactive_reseed()
     bench_propagation_mc3()
     bench_full_survey()
 

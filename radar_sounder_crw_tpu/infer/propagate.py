@@ -134,6 +134,17 @@ def seed_onehot_from_segmentation(seg_ref: np.ndarray, n_nodes: int, nclasses: i
     return np.eye(nclasses, dtype=np.float32)[labels], labels
 
 
+@partial(jax.jit, static_argnames=("padded",))
+def _bucketed_tail(emb, frame_idx, padded: int):
+    """(padded, N, C) window of `emb` starting at traced `frame_idx`,
+    zero-padded past the sequence end. One compile per bucketed length,
+    reused for every frame index within the bucket (see reseed)."""
+    ext = jnp.concatenate(
+        [emb, jnp.zeros((padded, *emb.shape[1:]), emb.dtype)], axis=0
+    )
+    return jax.lax.dynamic_slice_in_dim(ext, frame_idx, padded, 0)
+
+
 class PropagationPipeline:
     """Bundles encoder weights + label-prop config into a callable pipeline."""
 
@@ -222,7 +233,9 @@ class PropagationPipeline:
             soft=np.asarray(fetched[-1]) if return_soft else None,
         )
 
-    def reseed(self, seg_ref, frame_idx: int = 0) -> PropagateResult:
+    def reseed(
+        self, seg_ref, frame_idx: int = 0, bucket: int = 16
+    ) -> PropagateResult:
         """Interactive re-seeding: propagate a NEW seed from `frame_idx` on,
         reusing the cached device-resident embeddings of the last __call__ —
         only the propagation scan (+ one host fetch) reruns, not the encoder.
@@ -237,6 +250,14 @@ class PropagationPipeline:
         Frames before `frame_idx` keep the cached call's prediction (the
         correction-splice semantics, reference: scripts/test/test.py:76-85).
 
+        bucket: tail lengths compile one program per distinct length, so an
+        annotator scrubbing frame indices would pay a ~seconds compile per
+        NEW frame; rounding the tail up to a multiple of `bucket` (zero-
+        padded embeddings, outputs sliced back) bounds the session to
+        ceil(T/bucket) compiles. Bit-equal to the unbucketed run for the
+        real frames — the propagation scan is forward-only, so appended pad
+        frames cannot influence earlier outputs. bucket=1 disables.
+
         Returns a PropagateResult whose prediction is the spliced (N, T) map;
         xent is the cached metric (embeddings are unchanged by re-seeding);
         change_idx is None (detection belongs to the original call).
@@ -248,13 +269,25 @@ class PropagationPipeline:
         T, N, _ = emb.shape
         if not 0 <= frame_idx < T - 1:
             raise ValueError(f"frame_idx {frame_idx} out of range for T={T}")
+        if bucket < 1:
+            raise ValueError(f"bucket must be >= 1, got {bucket}")
         seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
-        # device-side tail slice; one compile per distinct tail length
-        # (an interactive session reuses a handful of lengths)
+        # device-side tail slice, zero-padded at the END to the bucketed
+        # length: pad frames run after every real frame in the forward-only
+        # scan, so the real frames' outputs are bit-equal to the unbucketed
+        # run; the pad frames' (meaningless) outputs are sliced off below.
+        # The slice itself is a jitted dynamic_slice with a TRACED start —
+        # shape-keyed eager slice/concat ops would otherwise compile per
+        # frame index (measured seconds each through a remote relay),
+        # defeating the bucketing
+        tail_len = T - frame_idx
+        padded = -(-tail_len // bucket) * bucket
+        tail_emb = _bucketed_tail(emb, frame_idx, padded)
         _, pred = propagate_labels(
-            emb[frame_idx:], jnp.asarray(seed), self.lp_cfg, None, "auto"
+            tail_emb, jnp.asarray(seed), self.lp_cfg, None, "auto"
         )
-        tail = np.asarray(jax.device_get(pred)).T.astype(np.int32)  # (N, T-f)
+        tail = np.asarray(jax.device_get(pred))[:tail_len]
+        tail = tail.T.astype(np.int32)  # (N, T-f)
         full = cache["prediction"].copy()
         full[:, frame_idx:] = tail
         return PropagateResult(

@@ -222,3 +222,14 @@ def test_reseed_matches_fresh_call():
 
     with pytest.raises(ValueError, match="frame_idx"):
         pipe.reseed(seg, T - 1)
+
+    # tail-length bucketing (compile-count bound for interactive scrubbing):
+    # padded pad frames run after every real frame in the forward-only scan,
+    # so bucket=16 (default, exercised above) == bucket=1 (exact lengths)
+    # for every frame index
+    for f in (0, 3, 7):
+        a = pipe.reseed(seg2, f, bucket=1)
+        b = pipe.reseed(seg2, f, bucket=16)
+        np.testing.assert_array_equal(a.prediction, b.prediction)
+    with pytest.raises(ValueError, match="bucket"):
+        pipe.reseed(seg2, 0, bucket=0)
