@@ -30,10 +30,11 @@ affinity+mask baseline ~0.23 of the ~0.50 ms/frame device time.
 """
 
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -50,6 +50,15 @@ def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
     dynamic-slice/gather HLO on TPU.
     """
     T = geo.length if length is None else length
+    if isinstance(indices, (np.ndarray, list, tuple)):
+        idx_arr = np.asarray(indices)
+        # host path (extract_window) raises for out-of-range windows; a
+        # traced `take` would silently clamp to the edge column instead —
+        # fail loudly while the indices are still concrete
+        if idx_arr.size and (idx_arr.min() < 0 or idx_arr.max() >= geo.nw):
+            raise IndexError(
+                f"window index out of range [0, {geo.nw}) in {idx_arr!r}"
+            )
     row_idx, col_rel = window_index_arrays(geo, T)
     rg_used = rg[: geo.pxh]  # (pxh, W)
     cols = (geo.w - geo.ow) * indices[:, None] + col_rel[None, :]  # (B, T*w)
@@ -81,4 +90,8 @@ def resident_source(dataset):
         if idxs is None:
             return None
         index_map = np.asarray(idxs, dtype=np.int32)
+    if index_map.size and (index_map.min() < 0 or index_map.max() >= geo.nw):
+        raise ValueError(
+            f"dataset index map exceeds the radargram's {geo.nw} windows"
+        )
     return rg, geo, index_map

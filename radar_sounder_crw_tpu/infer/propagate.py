@@ -159,6 +159,7 @@ class PropagationPipeline:
         xent_tau: float = 0.1,
         xent_quirk: bool = False,
         pelt_pen: float = 5.0,
+        cache_embeddings: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -169,7 +170,15 @@ class PropagationPipeline:
         self.xent_tau = xent_tau
         self.xent_quirk = xent_quirk
         self.pelt_pen = pelt_pen
+        # reseed() reuses the last __call__'s device-resident embeddings;
+        # batch eval loops that never reseed can turn the cache off to avoid
+        # pinning ~T*N*C floats of HBM past each call
+        self.cache_embeddings = cache_embeddings
         self._cache: dict | None = None  # last __call__'s embeddings (reseed)
+
+    def release_cache(self) -> None:
+        """Drop the cached embeddings (frees their HBM)."""
+        self._cache = None
 
     def encode(self, seq) -> jnp.ndarray:
         return encode_sequence(
@@ -217,21 +226,24 @@ class PropagationPipeline:
                 np.asarray(fetched[2]), pen=self.pelt_pen
             )
 
-        # cache the device-resident embeddings + the host prediction so
-        # `reseed` can rerun propagation alone (interactive re-seeding)
-        self._cache = {
-            "emb": emb,
-            "use_last": use_last,
-            "prediction": np.asarray(pred_h).T.astype(np.int32),
-            "xent": np.asarray(xent_h),
-        }
-
-        return PropagateResult(
+        result = PropagateResult(
             prediction=np.asarray(pred_h).T.astype(np.int32),  # (N, T)
             xent=np.asarray(xent_h),
             change_idx=change_idx,
             soft=np.asarray(fetched[-1]) if return_soft else None,
         )
+        # cache the device-resident embeddings + the host prediction so
+        # `reseed` can rerun propagation alone (interactive re-seeding);
+        # the host arrays are shared with the result (reseed copies before
+        # splicing), not duplicated
+        if self.cache_embeddings:
+            self._cache = {
+                "emb": emb,
+                "use_last": use_last,
+                "prediction": result.prediction,
+                "xent": result.xent,
+            }
+        return result
 
     def reseed(
         self, seg_ref, frame_idx: int = 0, bucket: int = 16
@@ -267,7 +279,7 @@ class PropagationPipeline:
             raise RuntimeError("reseed() needs a prior __call__ on this pipeline")
         emb = cache["emb"]
         T, N, _ = emb.shape
-        if not 0 <= frame_idx < T - 1:
+        if not 0 <= frame_idx < T:  # T-1 is legal: reseed just the last frame
             raise ValueError(f"frame_idx {frame_idx} out of range for T={T}")
         if bucket < 1:
             raise ValueError(f"bucket must be >= 1, got {bucket}")

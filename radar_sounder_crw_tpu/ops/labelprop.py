@@ -86,34 +86,38 @@ def _push_frame(long_mem, carry, q, pred):
     are a circular window of the last cxt frames (every frame is pushed,
     including pinned ones — dedup happens in `_slot_validity`). Shared by
     all step variants so the buffer policy lives in one place."""
-    feats, labels, ring_written, t = carry
+    feats, labels, t = carry
     L = len(long_mem)
     cxt = feats.shape[0] - L
     r = jnp.mod(t, cxt)
     feats = feats.at[L + r].set(q)
     labels = labels.at[L + r].set(pred)
-    ring_written = ring_written.at[r].set(1.0)
     for j, fj in enumerate(long_mem):  # pin when its frame comes up
         hit = t == fj
         feats = feats.at[j].set(jnp.where(hit, q, feats[j]))
         labels = labels.at[j].set(jnp.where(hit, pred, labels[j]))
-    return (feats, labels, ring_written, t + 1)
+    return (feats, labels, t + 1)
 
 
-def _slot_validity(long_mem, cxt, ring_written, t):
+def _slot_validity(long_mem, cxt, t):
     """(L+cxt,) 1/0 slot validity for the step predicting frame `t`.
 
-    Ring slots are valid once written (they hold exactly the last
-    min(t, cxt) frames). A pinned slot activates only after its frame has
-    left the recent window (t - frame > cxt), so every context frame
-    contributes exactly once. For long_mem=(0,) this selects exactly the
-    reference's context: all frames while t <= cxt+1, frame 0 + last cxt
-    after (maskedatt.py:166-167)."""
+    Ring slots are valid once written — they hold exactly the last
+    min(t, cxt) frames, so validity is derivable from the frame counter
+    alone (the fused kernel derives it the same way). A pinned slot
+    activates only after its frame has left the recent window
+    (t - frame > cxt), so every context frame contributes exactly once.
+    For long_mem=(0,) this selects exactly the reference's context: all
+    frames while t <= cxt+1, frame 0 + last cxt after
+    (maskedatt.py:166-167)."""
+    ring_valid = (
+        jnp.arange(cxt, dtype=jnp.int32) < jnp.minimum(t, cxt)
+    ).astype(jnp.float32)
     if not long_mem:
-        return ring_written
+        return ring_valid
     pins = jnp.asarray(long_mem, jnp.int32)
     pin_valid = (t - pins > cxt).astype(jnp.float32)
-    return jnp.concatenate([pin_valid, ring_written])
+    return jnp.concatenate([pin_valid, ring_valid])
 
 
 def _topk_candidates(aff, knn):
@@ -141,8 +145,8 @@ def _topk_candidates(aff, knn):
 
 def _prop_step(mask, temperature, knn, long_mem, cxt, carry, q):
     """One frame of propagation. carry: ring buffer; q: (N, C) query feats."""
-    feats, labels, ring_written, t = carry
-    valid = _slot_validity(long_mem, cxt, ring_written, t)
+    feats, labels, t = carry
+    valid = _slot_validity(long_mem, cxt, t)
     K, N, C = feats.shape
 
     # affinity of every context node to every query node (keys @ query^T):
@@ -189,8 +193,8 @@ def _prop_step_chunked(
 
     mask_pad ((N, ceil(N/qb)*qb), query columns padded NEG_MASKED) and
     chunk_ids are frame-invariant and bound once outside the scan."""
-    feats, labels, ring_written, t = carry
-    valid = _slot_validity(long_mem, cxt, ring_written, t)
+    feats, labels, t = carry
+    valid = _slot_validity(long_mem, cxt, t)
     K, N, C = feats.shape
     n_pad = mask_pad.shape[1]
     q_pad = jnp.pad(q, ((0, n_pad - N), (0, 0)))
@@ -328,6 +332,8 @@ def propagate_labels(
     assert h * w == N, f"grid {h}x{w} != {N} nodes"
     if cfg.cxt_size < 1:
         raise ValueError("cxt_size must be >= 1 (need at least one recent-frame slot)")
+    if cfg.knn < 1:
+        raise ValueError(f"knn must be >= 1, got {cfg.knn}")
     long_mem = tuple(int(j) for j in cfg.long_mem)
     if list(long_mem) != sorted(set(long_mem)) or (long_mem and long_mem[0] < 0):
         raise ValueError(
@@ -340,7 +346,6 @@ def propagate_labels(
     K = L + cxt
     # push frame 0 (seed): ring slot L+0, plus any pin listing frame 0
     pin0 = [j for j, fj in enumerate(long_mem) if fj == 0]
-    ring_written0 = jnp.zeros((cxt,), jnp.float32).at[0].set(1.0)
     t0 = jnp.ones((), jnp.int32)
 
     knn = min(cfg.knn, K * N)  # top-k cannot exceed the candidate count
@@ -375,7 +380,7 @@ def propagate_labels(
         for j in pin0:
             feats0 = feats0.at[j].set(emb[0])
             labels0 = labels0.at[j].set(seed_labels)
-        carry0 = (feats0, labels0, ring_written0, t0)
+        carry0 = (feats0, labels0, t0)
         xs = emb[1:]
     elif kernel in (
         "pallas", "pallas_interpret", "pallas_static",

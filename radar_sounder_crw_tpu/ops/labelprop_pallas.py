@@ -111,8 +111,18 @@ SLOT_CHUNK = 8  # slots per in-place chunk pass; single-block plans pad the
 # + merge overhead, so they walk kb/FIND_GROUPS-slot groups instead of
 # SLOT_CHUNK-sized chunks. Must divide every kb (kb % 8 == 0 on dynamic
 # plans, so 1/2/4/8 are always safe). RSCRW_FIND_GROUPS overrides for
-# benchmarking.
+# benchmarking; values that don't divide a given kb are clamped to the
+# nearest-below divisor by _find_groups_for (a non-divisor would make the
+# covered prefix overrun the affinity scratch — OOB VMEM traffic).
 FIND_GROUPS = int(os.environ.get("RSCRW_FIND_GROUPS", "4"))
+
+
+def _find_groups_for(kb: int) -> int:
+    """Largest divisor of kb that is <= FIND_GROUPS (>= 1)."""
+    g = max(1, min(FIND_GROUPS, kb))
+    while kb % g:
+        g -= 1
+    return g
 
 
 def _round_up(x: int, m: int) -> int:
@@ -372,7 +382,7 @@ def _prop_step_kernel(
         fine chunks pay knn*nch loop iterations plus a per-chunk iota
         rebuild (measured: +~100 us/frame at full MC3 context vs the static
         full-array passes). The base iota is hoisted out of both loops."""
-        ce = kb // FIND_GROUPS  # slots per group (kb % FIND_GROUPS == 0)
+        ce = kb // _find_groups_for(kb)  # slots per group (divisor-clamped)
         cerows = ce * n_rows
         ng = (ns + ce - 1) // ce  # valid groups (dynamic)
         base_iota = jax.lax.broadcasted_iota(
@@ -568,7 +578,7 @@ def _prop_step_kernel(
             # the affinity/W chunk loops must cover every slot the coarse
             # extraction groups read: round the covered prefix up to the
             # extraction-group extent first, then to affinity chunks
-            ce = kb // FIND_GROUPS
+            ce = kb // _find_groups_for(kb)
             ns_cover = ((ns + ce - 1) // ce) * ce
             nch = (ns_cover + CH - 1) // CH
             _inplace_affinity(nch)

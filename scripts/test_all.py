@@ -96,6 +96,7 @@ def main(args):
     pipe = PropagationPipeline(
         model, variables, lp_cfg, nclasses=nclasses, use_pos_embed=args.pos_embed,
         bn_train_mode=args.bn_train_mode, xent_quirk=args.xent_quirk,
+        cache_embeddings=False,  # batch eval never reseeds; don't pin HBM
     )
 
     geo = dataset.geo

@@ -46,6 +46,23 @@ def test_gather_shorter_length():
     np.testing.assert_array_equal(got[0], want)
 
 
+def test_gather_rejects_out_of_range_indices():
+    """The host path raises IndexError for out-of-range windows; the gather
+    path must fail the same way for concrete indices instead of silently
+    clamping to the edge column (jnp.take's default)."""
+    rng = np.random.default_rng(5)
+    rg = rng.standard_normal((96, 400)).astype(np.float32)
+    geo = window_geometry(rg.shape, (16, 16), (8, 0), 5)
+    for bad in ([geo.nw], [-1]):
+        with pytest.raises(IndexError, match="window index"):
+            gather_windows(jnp.asarray(rg), np.asarray(bad, np.int32), geo)
+
+    ds = RGWindows(rg, length=5, dim=(16, 16), overlap=(8, 0))
+    sub = SubsetWindows(ds, [0, geo.nw])  # stale index past the last window
+    with pytest.raises(ValueError, match="index map"):
+        resident_source(sub)
+
+
 def test_resident_source_unwraps_subsets():
     rg, _ = synthetic_radargram(H=96, W=600, nclasses=4, seed=0)
     ds = RGWindows(rg, length=4, dim=(16, 16), overlap=(8, 0))

@@ -260,6 +260,17 @@ def test_long_mem_validation():
             )
 
 
+def test_knn_validation():
+    emb = jnp.asarray(random_emb(4, 6, 8, seed=1))
+    seed = jnp.asarray(onehot_seed(6, 3, seed=1))
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="knn"):
+            propagate_labels(
+                emb, seed,
+                LabelPropConfig(cxt_size=2, knn=bad), None, "xla",
+            )
+
+
 def test_resident_kernel_matches_xla():
     """Whole-sequence resident kernel (interpret mode) == XLA path,
     including argmax, for default and multi-pin long_mem configs. (The

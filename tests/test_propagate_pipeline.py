@@ -220,8 +220,35 @@ def test_reseed_matches_fresh_call():
         rek.prediction[:, k:], np.asarray(tail).T.astype(np.int32)
     )
 
+    # reseeding the LAST frame is a legal annotator correction: earlier
+    # frames keep the cached map, the final frame becomes the seed's argmax
+    relast = pipe.reseed(seg2, T - 1)
+    np.testing.assert_array_equal(
+        relast.prediction[:, : T - 1], res.prediction[:, : T - 1]
+    )
+    np.testing.assert_array_equal(
+        relast.prediction[:, T - 1],
+        seed_onehot_from_segmentation(seg2, N, M)[1],
+    )
     with pytest.raises(ValueError, match="frame_idx"):
-        pipe.reseed(seg, T - 1)
+        pipe.reseed(seg, T)
+    with pytest.raises(ValueError, match="frame_idx"):
+        pipe.reseed(seg, -1)
+
+    # cache control: cache_embeddings=False keeps __call__ working but
+    # rejects reseed; release_cache frees a populated cache
+    pipe.release_cache()
+    with pytest.raises(RuntimeError, match="prior __call__"):
+        pipe.reseed(seg)
+    nocache = PropagationPipeline(
+        model, variables, LabelPropConfig(cxt_size=6, radius=4, knn=5),
+        nclasses=M, cache_embeddings=False,
+    )
+    nc = nocache(seq, seg, detect_change=False)
+    np.testing.assert_array_equal(nc.prediction, res.prediction)
+    with pytest.raises(RuntimeError, match="prior __call__"):
+        nocache.reseed(seg)
+    res = pipe(seq, seg, detect_change=False)  # repopulate for bucket checks
 
     # tail-length bucketing (compile-count bound for interactive scrubbing):
     # padded pad frames run after every real frame in the forward-only scan,
