@@ -135,14 +135,13 @@ def seed_onehot_from_segmentation(seg_ref: np.ndarray, n_nodes: int, nclasses: i
 
 
 @partial(jax.jit, static_argnames=("padded",))
-def _bucketed_tail(emb, frame_idx, padded: int):
-    """(padded, N, C) window of `emb` starting at traced `frame_idx`,
-    zero-padded past the sequence end. One compile per bucketed length,
-    reused for every frame index within the bucket (see reseed)."""
-    ext = jnp.concatenate(
-        [emb, jnp.zeros((padded, *emb.shape[1:]), emb.dtype)], axis=0
-    )
-    return jax.lax.dynamic_slice_in_dim(ext, frame_idx, padded, 0)
+def _bucketed_tail(emb_ext, frame_idx, padded: int):
+    """(padded, N, C) window of the zero-extended embeddings starting at
+    traced `frame_idx`. One compile per bucketed length, reused for every
+    frame index within the bucket (see reseed). emb_ext must carry at least
+    bucket-1 zero frames past the sequence end so the slice never clamps
+    (reseed builds it once per bucket, not per refinement)."""
+    return jax.lax.dynamic_slice_in_dim(emb_ext, frame_idx, padded, 0)
 
 
 class PropagationPipeline:
@@ -239,7 +238,7 @@ class PropagationPipeline:
         if self.cache_embeddings:
             self._cache = {
                 "emb": emb,
-                "use_last": use_last,
+                "emb_ext": {},  # per-bucket zero-extended copies (reseed)
                 "prediction": result.prediction,
                 "xent": result.xent,
             }
@@ -259,8 +258,11 @@ class PropagationPipeline:
         seg_ref: seed segmentation patch covering frame `frame_idx`'s pixels
         (in the orientation of the cached call — if it used use_last=True the
         cached sequence is time-flipped and frame_idx counts flipped frames).
-        Frames before `frame_idx` keep the cached call's prediction (the
-        correction-splice semantics, reference: scripts/test/test.py:76-85).
+        Frames before `frame_idx` keep the CURRENT session map — the original
+        call's prediction as refined by any earlier reseeds (the
+        correction-splice semantics, reference: scripts/test/test.py:76-85);
+        each reseed's spliced map becomes the base the next reseed splices
+        against, so successive refinements accumulate.
 
         bucket: tail lengths compile one program per distinct length, so an
         annotator scrubbing frame indices would pay a ~seconds compile per
@@ -294,7 +296,17 @@ class PropagationPipeline:
         # defeating the bucketing
         tail_len = T - frame_idx
         padded = -(-tail_len // bucket) * bucket
-        tail_emb = _bucketed_tail(emb, frame_idx, padded)
+        emb_ext = cache["emb_ext"].get(bucket)
+        if emb_ext is None:  # built once per bucket, not per refinement
+            emb_ext = (
+                jnp.concatenate(
+                    [emb, jnp.zeros((bucket - 1, *emb.shape[1:]), emb.dtype)]
+                )
+                if bucket > 1
+                else emb
+            )
+            cache["emb_ext"][bucket] = emb_ext
+        tail_emb = _bucketed_tail(emb_ext, frame_idx, padded)
         _, pred = propagate_labels(
             tail_emb, jnp.asarray(seed), self.lp_cfg, None, "auto"
         )
@@ -302,6 +314,7 @@ class PropagationPipeline:
         tail = tail.T.astype(np.int32)  # (N, T-f)
         full = cache["prediction"].copy()
         full[:, frame_idx:] = tail
+        cache["prediction"] = full  # refinements accumulate across reseeds
         return PropagateResult(
             prediction=full, xent=cache["xent"], change_idx=None, soft=None
         )
@@ -353,17 +366,9 @@ class PropagationPipeline:
                 for sr in seg_refs
             ]
         )
-        if pre_staged:
-            real = R
-            rem = (-R) % mesh.devices.size
-            if rem:
-                seqs_p = jnp.concatenate(
-                    [seqs, jnp.repeat(seqs[-1:], rem, axis=0)]
-                )
-            else:
-                seqs_p = seqs
-        else:
-            seqs_p, real = pad_to_multiple(seqs, mesh.devices.size)
+        # pad_to_multiple dispatches on array type: device-resident
+        # (pre-staged) inputs are padded on device, host arrays with numpy
+        seqs_p, real = pad_to_multiple(seqs, mesh.devices.size)
         seeds_p, _ = pad_to_multiple(seeds, mesh.devices.size)
         bsh = batch_sharding(mesh)
         seqs_d = jax.device_put(jnp.asarray(seqs_p), bsh)

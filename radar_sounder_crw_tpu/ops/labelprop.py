@@ -442,19 +442,15 @@ def propagate_labels(
         embT_all = embT_all.at[:, :C, :N].set(jnp.transpose(emb32[1:], (0, 2, 1)))
         embP_all = jnp.zeros((T - 1, n_rows, c_pad), jnp.float32)
         embP_all = embP_all.at[:, :N, :C].set(emb32[1:])
-        ts = jnp.arange(1, T, dtype=jnp.int32)[:, None]
-        ring_valid = jnp.arange(cxt, dtype=jnp.int32)[None, :] < ts
-        if L:
-            pins = jnp.asarray(long_mem, jnp.int32)[None, :]
-            valid_all = jnp.concatenate([ts - pins > cxt, ring_valid], axis=1)
-        else:
-            valid_all = ring_valid
+        # ONE source of truth for the slot-validity policy: vmap the same
+        # helper the XLA step uses over the frame counter
+        valid_all = jax.vmap(partial(_slot_validity, long_mem, cxt))(
+            jnp.arange(1, T, dtype=jnp.int32)
+        )  # (T-1, K) 1/0
         from .labelprop_pallas import NEG_PAD
 
         sb_all = jnp.full((T - 1, k_pad), NEG_PAD, jnp.float32)
-        sb_all = sb_all.at[:, :K].set(
-            (1.0 - valid_all.astype(jnp.float32)) * NEG_INVALID
-        )
+        sb_all = sb_all.at[:, :K].set((1.0 - valid_all) * NEG_INVALID)
         bias_all = jnp.broadcast_to(
             sb_all[:, :, None], (T - 1, k_pad, n_rows)
         ).reshape(T - 1, k_pad * n_rows, 1)

@@ -131,6 +131,7 @@ def _round_up(x: int, m: int) -> int:
 
 RESIDENT_BUDGET_V5 = 120 * 2**20  # whole-sequence kernel VMEM plan (v5e+: 128MB)
 RESIDENT_VMEM_LIMIT = 126 * 2**20  # scoped-vmem ceiling passed to Mosaic
+STEP_VMEM_LIMIT = 92 * 2**20  # per-frame step kernel scoped-vmem ceiling
 
 
 def plan_resident(
@@ -712,12 +713,16 @@ def prop_step_pallas_prepadded(
 
     # Value path holds ~4 affinity-sized live temporaries (a, sel, exp, W)
     # plus the feats/labels blocks on the scoped-VMEM stack; when that
-    # estimate nears the 126 MB ceiling, switch the single-block kernel to
-    # the in-place scratch variant (measured: the MC3 single-block plan
-    # needs 126.68 MB on the value path — 700 KB over the limit).
+    # estimate nears the compiler's scoped-VMEM ceiling, switch the
+    # single-block kernel to the in-place scratch variant (measured: the MC3
+    # single-block plan needs 126.68 MB on the value path — 700 KB over the
+    # limit). The estimate runs ~3% under measured use (123.3 vs 126.68 MB
+    # at MC3), so the switch point sits 8% below the ceiling — a plan whose
+    # estimate squeaks under the limit would otherwise fail Mosaic's
+    # scoped-VMEM check instead of running in-place.
     kbn = kb * n_rows
     value_est = 4 * (4 * kbn * n_lanes + kbn * c_pad + m_pad * kbn)
-    inplace = nblocks == 1 and value_est > 96 * 2**20
+    inplace = nblocks == 1 and value_est > int(STEP_VMEM_LIMIT * 0.92)
     if force_inplace is not None:
         inplace = force_inplace and nblocks == 1
     dynamic = (
@@ -765,7 +770,7 @@ def prop_step_pallas_prepadded(
         out_specs=pl.BlockSpec((m_pad, n_lanes), lambda p, b: (0, 0)),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=92 * 2**20,
+            vmem_limit_bytes=STEP_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(temp_arr, nslots_arr, f2d, qT, mask_pad, bias_rows, labT)

@@ -14,6 +14,7 @@ axes later (propagation batches shard over the same axis).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -49,15 +50,17 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
     return jax.device_put(batch, batch_sharding(mesh, axis_name))
 
 
-def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
+def pad_to_multiple(batch, multiple: int):
     """Pad the batch's leading axis to a multiple by repeating the last item.
 
     Returns (padded batch, number of real items). Loss/metric reductions use
-    the real count to stay exact.
+    the real count to stay exact. Works on host (numpy) and device (jax)
+    arrays alike — device inputs are padded on device, never copied to host.
     """
     b = batch.shape[0]
     rem = (-b) % multiple
     if rem == 0:
         return batch, b
-    pad = np.repeat(batch[-1:], rem, axis=0)
-    return np.concatenate([batch, pad], axis=0), b
+    xp = jnp if isinstance(batch, jax.Array) else np
+    pad = xp.repeat(batch[-1:], rem, axis=0)
+    return xp.concatenate([batch, pad], axis=0), b

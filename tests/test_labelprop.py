@@ -328,6 +328,34 @@ def test_resident_kernel_vmap_matches_per_item():
         np.testing.assert_array_equal(np.asarray(pred_b[i]), np.asarray(p_i))
 
 
+def test_tiled_kernel_vmap_matches_per_item():
+    """The tiled per-frame fused kernel under vmap — the kernel the batched
+    TPU production path (propagate_batch -> kernel='auto') actually routes
+    to — must equal per-item calls, with and without the dynamic
+    valid-prefix path's SMEM nslots scalar in play (multi-pin long_mem
+    exercises pinned-slot handling under the batch grid dimension too)."""
+    B, T, N, C, M = 3, 9, 10, 8, 4
+    emb = np.stack([random_emb(T, N, C, seed=80 + i) for i in range(B)])
+    seeds = np.stack([onehot_seed(N, M, seed=80 + i) for i in range(B)])
+    for lm in ((0,), (0, 2)):
+        cfg = LabelPropConfig(
+            cxt_size=4, radius=4, temperature=0.07, knn=4, long_mem=lm
+        )
+        soft_b, pred_b = propagate_labels_batched(
+            jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "pallas_interpret"
+        )
+        for i in range(B):
+            s_i, p_i = propagate_labels(
+                jnp.asarray(emb[i]), jnp.asarray(seeds[i]), cfg, None,
+                "pallas_interpret",
+            )
+            np.testing.assert_allclose(
+                np.asarray(soft_b[i]), np.asarray(s_i), rtol=1e-5, atol=1e-7,
+                err_msg=f"long_mem={lm} item={i}",
+            )
+            np.testing.assert_array_equal(np.asarray(pred_b[i]), np.asarray(p_i))
+
+
 def test_batch_block_matches_unchunked():
     """batch_block chunking (the reference's bsize mini-batching analogue,
     maskedatt.py:177-181) must be a pure memory knob: identical results,

@@ -221,10 +221,12 @@ def test_reseed_matches_fresh_call():
     )
 
     # reseeding the LAST frame is a legal annotator correction: earlier
-    # frames keep the cached map, the final frame becomes the seed's argmax
+    # frames keep the CURRENT session map — i.e. refinements accumulate, so
+    # the prefix here is rek's map (with the k=4 refinement), not the
+    # original call's
     relast = pipe.reseed(seg2, T - 1)
     np.testing.assert_array_equal(
-        relast.prediction[:, : T - 1], res.prediction[:, : T - 1]
+        relast.prediction[:, : T - 1], rek.prediction[:, : T - 1]
     )
     np.testing.assert_array_equal(
         relast.prediction[:, T - 1],
