@@ -1,7 +1,7 @@
 from .patchify import GridGeometry, unfold2d, window_geometry
 from .radargram import ConcatWindows, RGWindows, load_radargram, trim_miguel
 from .synthetic import synthetic_radargram
-from .registry import create_dataset, get_reference, DATASETS
+from .registry import create_dataset, get_reference, load_raw_pair, DATASETS
 
 __all__ = [
     "GridGeometry",
@@ -14,5 +14,6 @@ __all__ = [
     "synthetic_radargram",
     "create_dataset",
     "get_reference",
+    "load_raw_pair",
     "DATASETS",
 ]

@@ -168,6 +168,50 @@ class SubsetWindows:
         return self.dataset.batch([self.indices[i] for i in idxs], length)
 
 
+def load_raw_pair(dataset_id: int) -> tuple[np.ndarray, np.ndarray]:
+    """(radargram, segmentation) for a dataset id — the real files when the
+    data root has BOTH, the deterministic synthetic pair otherwise, with the
+    same half-populated-root guard as get_reference. Public accessor for
+    scripts that consume the raw products (scripts/test_unet.py,
+    scripts/heatmap.py) so they never reach into registry internals."""
+    spec = DATASETS[dataset_id]
+    rg_path, seg_path = _find(spec.rg_paths), _find(spec.seg_paths)
+    _check_ref_pair(dataset_id, seg_path is not None)
+    if rg_path is not None and seg_path is not None:
+        return (
+            np.asarray(load_radargram(rg_path)),
+            np.asarray(load_radargram(seg_path)),
+        )
+    rg, seg = _synth_pair(dataset_id)
+    return rg.copy(), seg.copy()
+
+
+def _check_ref_pair(dataset_id: int, seg_found: bool) -> None:
+    """A half-populated data root (real radargram without its segmentation,
+    or vice versa) would silently score real data against a synthetic
+    stand-in — refuse instead. Prints the same fallback notice as _load_rg
+    when both sides are synthetic."""
+    spec = DATASETS[dataset_id]
+    rg_found = _find(spec.rg_paths) is not None
+    if rg_found != seg_found:
+        have, miss = (
+            ("radargram", "segmentation")
+            if rg_found
+            else ("segmentation", "radargram")
+        )
+        raise ValueError(
+            f"data root provides the real {spec.name} {have} but not the "
+            f"real {miss} — mixing real data with the synthetic fallback "
+            f"produces meaningless evaluations; add the missing {miss} file "
+            f"or remove the {have}"
+        )
+    if not seg_found:
+        print(
+            f"[registry] {spec.name}: real segmentation not found; "
+            "using synthetic"
+        )
+
+
 def get_reference(
     id: int,
     h: int,
@@ -188,6 +232,7 @@ def get_reference(
             if id == 0
             else ("MCoRDS1_2010_DC8/SG3_MCoRDS1_2010_DC8.pt",)
         )
+        _check_ref_pair(0, path is not None)
         if path is not None:
             seg = np.asarray(load_radargram(path))
         else:
@@ -198,6 +243,7 @@ def get_reference(
     elif id == 1:
         spec = DATASETS[1]
         path = _find(spec.seg_paths)
+        _check_ref_pair(1, path is not None)
         seg = (
             np.asarray(load_radargram(path))
             if path is not None
@@ -209,6 +255,7 @@ def get_reference(
     elif id == 3:
         spec = DATASETS[3]
         path = _find(spec.seg_paths)
+        _check_ref_pair(3, path is not None)
         seg = (
             np.asarray(load_radargram(path))
             if path is not None

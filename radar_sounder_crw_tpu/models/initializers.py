@@ -32,3 +32,12 @@ def torch_default_bias_init(fan_in: int):
         return random.uniform(key, shape, dtype, -bound, bound)
 
     return init
+
+
+def torch_transposed_kernel_init(out_ch: int, kh: int, kw: int):
+    """torch ConvTranspose2d weight default: kaiming_uniform(a=sqrt(5)),
+    whose fan_in on the torch weight layout (in, out, kH, kW) is
+    out*kH*kW — NOT flax's (kH, kW, in, out) fan_in of in*kH*kW, so the
+    generic fan_in variance_scaling initializer would be off by the in/out
+    channel ratio."""
+    return torch_default_bias_init(out_ch * kh * kw)

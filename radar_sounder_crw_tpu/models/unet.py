@@ -14,7 +14,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..utils.resize import resize_bilinear_align_corners
-from .initializers import torch_default_bias_init, torch_default_kernel_init
+from .initializers import (
+    torch_default_bias_init,
+    torch_default_kernel_init,
+    torch_transposed_kernel_init,
+)
 
 
 class DoubleConv(nn.Module):
@@ -71,8 +75,13 @@ class UNet(nn.Module):
                     xa, (xa.shape[1] * 2, xa.shape[2] * 2)
                 )
             else:
+                up_ch = xa.shape[-1] // 2
                 xa = nn.ConvTranspose(
-                    xa.shape[-1] // 2, (2, 2), strides=(2, 2), name=name + "_up"
+                    up_ch, (2, 2), strides=(2, 2),
+                    kernel_init=torch_transposed_kernel_init(up_ch, 2, 2),
+                    bias_init=torch_default_bias_init(up_ch * 2 * 2),
+                    dtype=self.dtype,
+                    name=name + "_up",
                 )(xa)
             dh = xb.shape[1] - xa.shape[1]
             dw = xb.shape[2] - xa.shape[2]

@@ -68,7 +68,9 @@ class CRWTrainConfig:
     s2d_stem: bool | None = None  # ResNet stem conv as space-to-depth
     # (models/resnet.py:StemConv); None = auto (on for TPU backends).
     fused_bn: bool | None = None  # hand-scheduled training BatchNorm
-    # (models/fused_bn.py); None = auto (on for TPU backends).
+    # (models/fused_bn.py); None = OFF — a measured negative result on TPU
+    # (17.7 vs 16.75 ms/step, see models/resnet.py:make_norm), kept opt-in
+    # only. Unlike s2d_stem, never auto-enabled.
 
 
 class TrainState(struct.PyTreeNode):
@@ -234,6 +236,9 @@ class CRWTrainer:
 
     # -- lifecycle -----------------------------------------------------------
     def init_state(self, example_item_shape) -> TrainState:
+        # recorded so a checkpoint restore can rebuild the state template
+        # before any fit() call (train/tune.py:_restore_trial_state)
+        self._init_shape = tuple(int(d) for d in example_item_shape)
         T, N, h, w = example_item_shape
         in_ch = 2 if self.config.pos_embed else 1
         rng = jax.random.PRNGKey(self.config.seed)
@@ -318,9 +323,17 @@ class CRWTrainer:
                 )
         if resident is not None:
             rg_host, geo, index_map = resident
-            rg_dev = jax.device_put(
-                jnp.asarray(rg_host, jnp.float32), replicated(self.mesh)
-            )
+            # the upload survives fit() calls: epoch-per-fit drivers (the
+            # ASHA tuner) would otherwise re-pay the full radargram transfer
+            # every epoch — cache keyed on the host array's identity
+            cached = getattr(self, "_resident_rg", None)
+            if cached is not None and cached[0] is rg_host:
+                rg_dev = cached[1]
+            else:
+                rg_dev = jax.device_put(
+                    jnp.asarray(rg_host, jnp.float32), replicated(self.mesh)
+                )
+                self._resident_rg = (rg_host, rg_dev)
             step_res, step_res_repl, multi_res = self._resident_fns(geo)
 
         history = []

@@ -158,7 +158,8 @@ def _save_trial_state(checkpoint_dir: str, i: int, trial: Trial, max_t: int) -> 
         return
     from .checkpoint import CheckpointManager
 
-    mgr = CheckpointManager(_trial_ckpt_dir(checkpoint_dir, i), max_to_keep=1)
+    d = _trial_ckpt_dir(checkpoint_dir, i)
+    mgr = CheckpointManager(d, max_to_keep=1)
     try:
         if mgr.latest_step() != trial.epochs_done:
             payload = {
@@ -167,6 +168,14 @@ def _save_trial_state(checkpoint_dir: str, i: int, trial: Trial, max_t: int) -> 
                 "epoch_times": _pad_to(trial.epoch_times, max_t),
             }
             mgr.save(trial.epochs_done, payload)
+            # the restore template needs an initialized TrainState, but a
+            # resumed sweep restores into freshly-built trainers whose state
+            # is lazily created on first fit — record the init shape so
+            # _restore_trial_state can rebuild the template first
+            shape = getattr(trial.trainer, "_init_shape", None)
+            if shape is not None:
+                with open(os.path.join(d, "meta.json"), "w") as f:
+                    json.dump({"init_shape": list(shape)}, f)
     finally:
         mgr.close()
 
@@ -189,6 +198,23 @@ def _restore_trial_state(
         step = mgr.latest_step()
         if step is None:
             return False
+        if trial.trainer.state is None:
+            # freshly-built trainer: state is created lazily on first fit,
+            # but orbax needs a structural template — rebuild it from the
+            # recorded init shape (saved alongside the checkpoint)
+            meta_path = os.path.join(d, "meta.json")
+            if not os.path.isfile(meta_path) or not hasattr(
+                trial.trainer, "init_state"
+            ):
+                raise ValueError(
+                    f"cannot restore trial {i}: the trainer has no "
+                    "initialized state and no recorded init shape exists in "
+                    f"{d} — initialize the trainer's state before resuming, "
+                    "or delete the trial directory to retrain from scratch"
+                )
+            with open(meta_path) as f:
+                shape = tuple(json.load(f)["init_shape"])
+            trial.trainer.init_state(shape)
         template = {
             "state": trial.trainer.state,
             "losses": np.full(max_t, np.nan),
@@ -232,6 +258,12 @@ def run_asha(
     With `checkpoint_dir`, the sweep checkpoints after every rung and resumes
     from an existing sweep.json.
     """
+    if reduction_factor < 2:  # rf <= 1 makes the rung ladder non-terminating
+        raise ValueError(f"reduction_factor must be >= 2, got {reduction_factor}")
+    if grace_period < 1 or max_t < grace_period:
+        raise ValueError(
+            f"need 1 <= grace_period <= max_t, got {grace_period}/{max_t}"
+        )
     wants_mesh = len(inspect.signature(make_trainer).parameters) >= 2
 
     def build(trial: Trial):

@@ -132,6 +132,9 @@ class UNetTrainer:
         return jnp.argmax(logits, axis=-1)
 
     def init_state(self, sample_shape):
+        # recorded so a checkpoint restore can rebuild the state template
+        # before any fit() call (train/tune.py:_restore_trial_state)
+        self._init_shape = tuple(int(d) for d in sample_shape)
         H, W = sample_shape[1], sample_shape[2]
         variables = self.model.init(
             jax.random.PRNGKey(self.config.seed),
@@ -202,7 +205,11 @@ class UNetTrainer:
     def predict(self, x) -> np.ndarray:
         n = self.mesh.devices.size
         padded, real = pad_to_multiple(np.asarray(x, np.float32), n)
-        out = self._infer(self.state, jnp.asarray(padded))
+        # stage straight into the batch sharding: jnp.asarray would commit
+        # the whole array to device 0 first and reshard (2x H2D bytes + a
+        # transient full-array HBM spike), the same pitfall _stage/fit avoid
+        staged = jax.device_put(padded, batch_sharding(self.mesh))
+        out = self._infer(self.state, staged)
         return np.asarray(jax.device_get(out))[:real]
 
 

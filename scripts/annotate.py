@@ -20,8 +20,11 @@ Commands
       2-D list of int labels covering the frame's pixels); optional
       "use_last": true seeds the LAST frame and propagates backwards
   {"cmd": "reseed", "frame": 40, "seg": "gt"}   re-propagate from a new seed
-      at `frame` reusing cached embeddings; frames before keep the previous
-      map (correction-splice semantics, reference scripts/test/test.py:76-85)
+      at `frame` (ORIGINAL frame order, like every other command) reusing
+      cached embeddings; the frames on the propagation's upstream side keep
+      the previous map — frames before `frame` in a forward session, frames
+      after it in a use_last session (correction-splice semantics,
+      reference scripts/test/test.py:76-85). Successive reseeds accumulate.
   {"cmd": "metrics"}                     pixel accuracy + mIoU vs ground truth
   {"cmd": "save", "path": "map.npy", "plot": "map.png"}   persist the map
   {"cmd": "info"}                        session state
@@ -154,9 +157,14 @@ class AnnotationSession:
             raise RuntimeError("no previous seed; send 'seed' first")
         frame = int(p.get("frame", 0))
         T = self.seq.shape[0]
-        orig = T - 1 - frame if self.use_last else frame
-        seg_ref = self._seed_patch(p.get("seg", "gt"), orig)
-        res = self.pipe.reseed(seg_ref, frame)
+        # protocol 'frame' is in ORIGINAL frame order, like every other
+        # command's output; the pipeline's cached sequence is time-flipped
+        # in a use_last session, so only the reseed index flips — the seed
+        # patch covers the original frame either way (use_last reverses the
+        # frame ORDER, not the pixels within a frame)
+        flip_f = T - 1 - frame if self.use_last else frame
+        seg_ref = self._seed_patch(p.get("seg", "gt"), frame)
+        res = self.pipe.reseed(seg_ref, flip_f)
         pred = res.prediction[:, ::-1] if self.use_last else res.prediction
         self.pred = pred
         return {"frame": frame, "class_counts": self._counts(pred)}

@@ -44,8 +44,7 @@ def main(args):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    from radar_sounder_crw_tpu.data import load_radargram
-    from radar_sounder_crw_tpu.data.registry import _find, _synth_pair, DATASETS
+    from radar_sounder_crw_tpu.data import load_radargram, load_raw_pair
     from radar_sounder_crw_tpu.infer.propagate import encode_sequence
     from radar_sounder_crw_tpu.ops import horizontality_xent, pelt_rbf
 
@@ -58,13 +57,12 @@ def main(args):
     if args.dataset == 1:
         p = os.path.join(args.input_folder, "mc3_1.pt")
         rg = (
-            load_radargram(p)[:1000, :1920]
+            load_radargram(p)
             if os.path.exists(p)
-            else _synth_pair(1)[0][:1000, :1920]
-        )
+            else load_raw_pair(1)[0]
+        )[:1000, :1920]
     else:
-        rp = _find(DATASETS[3].rg_paths)
-        rg = (load_radargram(rp) if rp else _synth_pair(3)[0])[:, :1920]
+        rg = load_raw_pair(3)[0][:, :1920]
 
     seq = window_radargram(rg, patch, overlap)
     T, N, _, _ = seq.shape
@@ -104,9 +102,9 @@ def main(args):
 
     for a in ax:
         a.set_xlabel("Trace" if a is ax[0] else "Column")
-        span_x = np.diff(a.get_xlim())
-        span_y = np.diff(a.get_ylim())
-        a.set_aspect(float(np.abs(span_x / span_y)) * aspect)
+        span_x = np.diff(a.get_xlim()).item()
+        span_y = np.diff(a.get_ylim()).item()
+        a.set_aspect(abs(span_x / span_y) * aspect)
 
     bkps = pelt_rbf(rolling, pen=2.0)
     print("PELT breakpoints (pen=2):", bkps)

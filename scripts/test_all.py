@@ -238,8 +238,9 @@ def main(args):
         ]
         rev_list = []
         if args.batched:
-            # same sharded device program as the forward pass, time-flipped
-            seqs = np.stack([dataset[i] for i in rg_idx_list])
+            # same sharded device program as the forward pass, time-flipped;
+            # `seqs` is the forward pass's stack, unchanged since — rebuilding
+            # it would re-patchify every window (~hundreds of MB on a survey)
             rev_preds = pipe.propagate_batch(seqs, rev_seg_refs, use_last=True)
             for t in range(len(rg_idx_list)):
                 rev_list.append(

@@ -33,8 +33,7 @@ def get_args_parser():
 def main(args):
     import jax.numpy as jnp
 
-    from radar_sounder_crw_tpu.data.registry import _synth_pair, _find, DATASETS
-    from radar_sounder_crw_tpu.data import load_radargram
+    from radar_sounder_crw_tpu.data import load_raw_pair
     from radar_sounder_crw_tpu.ops import classification_report, confusion_matrix, miou
     from radar_sounder_crw_tpu.train.unet_trainer import (
         UNetTrainConfig,
@@ -45,13 +44,8 @@ def main(args):
 
     print(args)
     patch = normalize_pair(args.patch_size)
-    spec = DATASETS[3]
-    rg_path, sg_path = _find(spec.rg_paths), _find(spec.seg_paths)
-    if rg_path and sg_path:
-        rg, sg = load_radargram(rg_path), load_radargram(sg_path).astype(np.int32)
-    else:
-        print("[test_unet] real SHARAD not found; using synthetic")
-        rg, sg = _synth_pair(3)
+    rg, sg = load_raw_pair(3)  # real SHARAD when present, synthetic otherwise
+    sg = sg.astype(np.int32)
     n_classes = 5
 
     x, y = unfold_strips(rg, sg, strip_w=patch[1], n_classes=n_classes)

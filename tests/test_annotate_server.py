@@ -114,3 +114,29 @@ def test_seed_orientation(use_last):
     assert s.pred.shape[1] == 8
     m = s.handle(json.dumps({"cmd": "metrics"}))
     assert m["ok"] and 0.0 <= m["miou"] <= 1.0
+
+
+@pytest.mark.parametrize("use_last", [False, True])
+def test_reseed_frame_is_original_order(use_last):
+    """The protocol's reseed 'frame' is ORIGINAL frame order in both session
+    orientations: the seeded frame itself becomes the explicit seed's argmax,
+    and the frames on the propagation's upstream side (after `frame` for
+    use_last, before it for forward) keep the previous map. Guards the
+    use_last coordinate bug where an explicit seed landed on flipped frame
+    `frame` (original T-1-frame) instead."""
+    annotate, args = _session_args()
+    s = annotate.AnnotationSession(args)
+    assert s.handle(json.dumps({"cmd": "load"}))["ok"]
+    r = s.handle(json.dumps({"cmd": "seed", "seg": "gt", "use_last": use_last}))
+    assert r["ok"], r
+    before = s.pred.copy()
+    f = 5
+    seg = (np.ones((s.geo.rg_h(), s.geo.w), np.int32) * 2).tolist()
+    r = s.handle(json.dumps({"cmd": "reseed", "frame": f, "seg": seg}))
+    assert r["ok"], r
+    after = s.pred
+    assert (after[:, f] == 2).all(), "seed must land on ORIGINAL frame f"
+    if use_last:
+        np.testing.assert_array_equal(after[:, f + 1 :], before[:, f + 1 :])
+    else:
+        np.testing.assert_array_equal(after[:, :f], before[:, :f])

@@ -165,3 +165,31 @@ def test_concat_windows_and_training():
     trainer = CRWTrainer(cfg)
     hist = trainer.fit(cat, log=lambda s: None)
     assert np.isfinite(hist).all()
+
+
+def test_half_populated_data_root_is_refused(monkeypatch, tmp_path):
+    """A data root with the real SHARAD radargram but no segmentation (or
+    vice versa) must raise from get_reference instead of silently scoring
+    real data against a synthetic stand-in; a root with neither falls back
+    to synthetic with a printed notice."""
+    import pytest
+
+    from radar_sounder_crw_tpu.data import get_reference
+
+    d = tmp_path / "SHARAD"
+    d.mkdir()
+    torch.save(torch.zeros(8, 16), str(d / "sharad_north_rg.pt"))
+    monkeypatch.setenv("RSCRW_DATA_ROOT", str(tmp_path))
+    with pytest.raises(ValueError, match="segmentation"):
+        get_reference(id=3, h=8, w=0)
+
+    # the opposite half: seg present, rg missing
+    (d / "sharad_north_rg.pt").unlink()
+    torch.save(torch.zeros(8, 16, dtype=torch.uint8), str(d / "sharad_north_sg5.pt"))
+    with pytest.raises(ValueError, match="radargram"):
+        get_reference(id=3, h=8, w=0)
+
+    # both present: loads the real files
+    torch.save(torch.zeros(8, 16), str(d / "sharad_north_rg.pt"))
+    n, seg = get_reference(id=3, h=8, w=0)
+    assert n == 5 and seg.shape == (8, 16)

@@ -201,6 +201,68 @@ def test_asha_checkpoint_and_resume_after_kill(tmp_path):
     assert best2.config == best.config and best2.losses == best.losses
 
 
+def test_asha_resume_with_lazy_state_trainer(tmp_path):
+    """Real trainers (CRWTrainer/UNetTrainer) create their TrainState lazily
+    on the first fit() — a resumed sweep restores into freshly-built
+    trainers whose state is still None, so the restore must rebuild the
+    template via init_state from the recorded init shape instead of failing
+    on healthy checkpoints."""
+    space = {"quality": [1.0, 2.0, 3.0]}
+    calls = {"n": 0}
+
+    class LazyTrainer:
+        def __init__(self, q):
+            self.q = q
+            self.state = None
+
+        def init_state(self, shape):
+            self._init_shape = tuple(shape)  # same contract as the trainers
+            self.state = {
+                "epochs": np.zeros((), np.int32),
+                "q": np.asarray(self.q, np.float32),
+            }
+            return self.state
+
+    def make_trainer(config):
+        return LazyTrainer(config["quality"])
+
+    def train_epoch(trainer):
+        if trainer.state is None:  # like fit(dataset[0].shape)
+            trainer.init_state((4, 5))
+        calls["n"] += 1
+        trainer.state = dict(trainer.state, epochs=trainer.state["epochs"] + 1)
+        return float(trainer.state["q"])
+
+    def crashing_epoch(trainer):
+        if calls["n"] >= 4:
+            raise RuntimeError("simulated kill")
+        return train_epoch(trainer)
+
+    kw = dict(
+        space=space, num_samples=4, max_t=3, grace_period=1,
+        reduction_factor=2, seed=2, log=lambda s: None,
+        checkpoint_dir=str(tmp_path / "sweep"),
+    )
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_asha(make_trainer, crashing_epoch, **kw)
+    best = run_asha(make_trainer, train_epoch, **kw)  # must not raise
+    assert best.epochs_done == 3
+    # the survivor's state came through restore + continued training
+    assert int(best.trainer.state["epochs"]) == 3
+
+
+def test_asha_validates_schedule_params():
+    """reduction_factor <= 1 made _rung_ladder loop forever; the parameters
+    are now validated up front."""
+    noop = lambda *a, **k: None  # noqa: E731
+    with pytest.raises(ValueError, match="reduction_factor"):
+        run_asha(noop, noop, {"a": [1]}, reduction_factor=1)
+    with pytest.raises(ValueError, match="grace_period"):
+        run_asha(noop, noop, {"a": [1]}, grace_period=0)
+    with pytest.raises(ValueError, match="grace_period"):
+        run_asha(noop, noop, {"a": [1]}, grace_period=5, max_t=3)
+
+
 def test_asha_resume_after_promotion_does_not_reprune(tmp_path):
     """A sweep killed AFTER a promotion was applied and saved must resume
     into the NEXT rung — not replay the rung loop from the top and re-apply
