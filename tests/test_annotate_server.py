@@ -105,13 +105,26 @@ def test_seed_rejects_bad_shapes():
 @pytest.mark.parametrize("use_last", [False, True])
 def test_seed_orientation(use_last):
     """use_last seeds the last frame and returns the map in ORIGINAL frame
-    order (the server flips the pipeline's reversed output back)."""
+    order (the server flips the pipeline's reversed output back). Pinned by
+    value: the seeded ORIGINAL frame's map column must equal the seed's own
+    argmax labels — a dropped flip-back would place them at the other end."""
+    from radar_sounder_crw_tpu.infer.propagate import (
+        seed_onehot_from_segmentation,
+    )
+
     annotate, args = _session_args()
     s = annotate.AnnotationSession(args)
     assert s.handle(json.dumps({"cmd": "load"}))["ok"]
     r = s.handle(json.dumps({"cmd": "seed", "seg": "gt", "use_last": use_last}))
     assert r["ok"], r
-    assert s.pred.shape[1] == 8
+    T = 8
+    assert s.pred.shape[1] == T
+    N = s.pred.shape[0]
+    seeded_orig = T - 1 if use_last else 0
+    _, want = seed_onehot_from_segmentation(
+        s._gt_patch(seeded_orig), N, s.nclasses
+    )
+    np.testing.assert_array_equal(s.pred[:, seeded_orig], want)
     m = s.handle(json.dumps({"cmd": "metrics"}))
     assert m["ok"] and 0.0 <= m["miou"] <= 1.0
 

@@ -90,6 +90,10 @@ def test_only_a_mode():
     emb = jnp.asarray(rng.standard_normal((1, 4, 6, 8)).astype(np.float32))
     A = crw_loss(emb, 0.1, only_a=True)
     assert A.shape == (1, 3, 6, 6)
+    # only_a must return the SAME affinities the tupled path computes
+    # (reference: model.py:27-28 returns A from the identical einsum/tau)
+    _, A_full = crw_loss(emb, 0.1)
+    np.testing.assert_array_equal(np.asarray(A), np.asarray(A_full))
 
 
 def test_zero_embedding_row_keeps_gradients_finite():

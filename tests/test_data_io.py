@@ -65,6 +65,12 @@ def test_fixture_regeneration_is_deterministic(tmp_path):
         os.path.join(FIXTURE_ROOT, "MCoRDS1_2010_DC8", "RG2_MCoRDS1_2010_DC8.pt")
     )
     np.testing.assert_array_equal(want_rg, rg.astype(np.float32))
+    # SG2 is the ground truth every MCoRDS1 metric is scored against —
+    # a drifted/corrupted committed copy must not pass silently
+    want_sg2 = load_radargram(
+        os.path.join(FIXTURE_ROOT, "MCoRDS1_2010_DC8", "SG2_MCoRDS1_2010_DC8.pt")
+    )
+    np.testing.assert_array_equal(want_sg2.astype(np.uint8), seg.astype(np.uint8))
     want_sg3 = load_radargram(
         os.path.join(FIXTURE_ROOT, "MCoRDS1_2010_DC8", "SG3_MCoRDS1_2010_DC8.pt")
     )

@@ -119,7 +119,8 @@ def test_propagate_pipeline_bitmatch(model_id, bn_train, pos_embed, use_last):
     seg = (np.arange(N * H)[:, None] * nclasses // (N * H)) * np.ones(
         (1, W), np.int64
     )
-    seg[rng.random(seg.shape) < 0.07] = rng.integers(0, nclasses)
+    speckle = rng.random(seg.shape) < 0.07
+    seg[speckle] = rng.integers(0, nclasses, size=int(speckle.sum()))
 
     lp = _make_lp(*cfg)
     want_pred, want_xent, want_change = _reference_propagate(
@@ -180,7 +181,8 @@ def test_full_test_script_flow_bitmatch(tmp_path):
     seg_full = (np.arange(Hpx)[:, None] * nclasses // Hpx) * np.ones(
         (1, Wpx), np.int64
     )
-    seg_full[rng.random(seg_full.shape) < 0.05] = rng.integers(0, nclasses)
+    speckle = rng.random(seg_full.shape) < 0.05
+    seg_full[speckle] = rng.integers(0, nclasses, size=int(speckle.sum()))
     seg_t = torch.tensor(seg_full)
 
     lp = _make_lp(*cfg)

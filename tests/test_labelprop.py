@@ -107,8 +107,15 @@ def test_batched_vmap():
     )
     assert soft.shape == (B, T, N, M)
     assert pred.shape == (B, T, N)
-    s0, p0 = propagate_labels(jnp.asarray(emb[1]), jnp.asarray(seeds[1]), cfg)
-    np.testing.assert_allclose(np.asarray(soft[1]), np.asarray(s0), rtol=1e-5)
+    for i in range(B):  # every item, soft AND argmax
+        s_i, p_i = propagate_labels(
+            jnp.asarray(emb[i]), jnp.asarray(seeds[i]), cfg, None, "xla"
+        )
+        np.testing.assert_allclose(
+            np.asarray(soft[i]), np.asarray(s_i), rtol=1e-5, atol=1e-7,
+            err_msg=f"item {i}",
+        )
+        np.testing.assert_array_equal(np.asarray(pred[i]), np.asarray(p_i))
 
 
 def test_knn_exceeding_candidates_is_clamped():

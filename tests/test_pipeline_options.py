@@ -44,6 +44,10 @@ def test_pos_embed_pipeline_runs_and_differs():
     pe = make_pipe(use_pos_embed=True)(seq, ref)
     assert pe.prediction.shape == plain.prediction.shape
     assert np.isfinite(pe.xent).all()
+    # the flag must actually thread the extra channel through the pipeline's
+    # encode: the xent metric (a continuous function of the embeddings)
+    # cannot coincide with the plain pipeline's if it does
+    assert not np.allclose(pe.xent, plain.xent), "pos_embed was a no-op"
     # the added channel must really be the normalized vertical coordinate
     # (reference src/utils.py:76-90: arange(H)/H - 0.5, channel order
     # [pe, data]) — not an accidental zero channel the model also accepts

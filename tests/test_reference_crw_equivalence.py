@@ -11,52 +11,28 @@ written torch oracle in test_crw_loss.py.
 Skipped when the reference tree is absent.
 """
 
-import os
-import sys
-import types
-
 import numpy as np
 import pytest
 
-REF = "/root/reference/src"
+from _reference_runtime import (
+    cuda_neutralized,
+    import_reference,
+    reference_available,
+)
+
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference tree not available"
+    not reference_available(), reason="reference tree not available"
 )
 
 
-def _stub_modules():
-    """Stub deps of reference utils.py that this image doesn't ship."""
-    rpt = types.ModuleType("ruptures")
-    rpt.Pelt = None
-    tv = types.ModuleType("torchvision")
-    tvt = types.ModuleType("torchvision.transforms")
-    tvt.Resize = None
-    tvt.InterpolationMode = types.SimpleNamespace(NEAREST=None)
-    tv.transforms = tvt
-    sys.modules.setdefault("ruptures", rpt)
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.transforms", tvt)
-
-
 def run_reference_crw(seq_np, weight, tau):
+    """Drive the upstream CRW loss on CPU torch (shared harness:
+    _reference_runtime installs the dep stubs and neutralizes 'cuda' —
+    model.py's `from torch import zeros` binding is captured at import)."""
     import torch
 
-    _stub_modules()
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-
-    orig_zeros = torch.zeros
-
-    def patched_zeros(*args, **kwargs):
-        if kwargs.get("device") == "cuda":
-            kwargs["device"] = "cpu"
-        return orig_zeros(*args, **kwargs)
-
-    torch.zeros = patched_zeros
-    try:
-        for mod in ("model", "utils", "dataset", "encoder"):
-            sys.modules.pop(mod, None)
-        import model as ref_model  # noqa: E402
+    ref_model = import_reference("model")
+    with cuda_neutralized():
 
         class LinearEncoder(torch.nn.Module):
             def __init__(self, w):
@@ -76,8 +52,6 @@ def run_reference_crw(seq_np, weight, tau):
             A.detach().numpy(),
             enc.w.grad.numpy(),
         )
-    finally:
-        torch.zeros = orig_zeros
 
 
 @pytest.mark.parametrize("B,T,N,H,W,tau", [(2, 6, 8, 5, 4, 0.05), (1, 4, 6, 4, 4, 0.2)])

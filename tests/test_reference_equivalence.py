@@ -2,8 +2,8 @@
 code itself.
 
 Imports the reference's `imported/labelprop.py` + `imported/maskedatt.py`
-read-only from /root/reference (torch CPU; the hardcoded 'cuda' strings are
-neutralized with a test-local torch.Tensor.to patch) and runs its
+read-only from /root/reference (torch CPU; stubs and 'cuda' neutralization
+via the shared tests/_reference_runtime harness) and runs its
 LabelPropVOS_CRW.predict frame loop against our ring-buffer scan on the same
 embeddings and seeds. For T <= CXT_SIZE+1 (no context trimming — the regime
 of the reference's test.py/test_all.py defaults) the two implementations must
@@ -12,42 +12,31 @@ agree to float tolerance.
 Skipped automatically when the reference tree is not present.
 """
 
-import os
-import sys
-
 import numpy as np
 import pytest
 
-REF = "/root/reference/src"
+from _reference_runtime import (
+    cuda_neutralized,
+    import_reference,
+    reference_available,
+)
+
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "imported")),
-    reason="reference tree not available",
+    not reference_available(), reason="reference tree not available"
 )
 
 
 def run_reference_labelprop(emb, seed_onehot, cxt, radius, temp, knn):
-    """Drive the upstream predict() loop on CPU torch."""
+    """Drive the upstream predict() loop on CPU torch (shared harness:
+    _reference_runtime handles the stubs and cuda neutralization)."""
     import torch
 
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from imported.labelprop import LabelPropVOS_CRW  # noqa: E402
-
-    orig_to = torch.Tensor.to
-
-    def patched_to(self, *args, **kwargs):
-        args = tuple("cpu" if a == "cuda" else a for a in args)
-        if kwargs.get("device") == "cuda":
-            kwargs["device"] = "cpu"
-        return orig_to(self, *args, **kwargs)
-
-    torch.Tensor.to = patched_to
-    try:
-        lp = LabelPropVOS_CRW(
+    labelprop = import_reference("imported.labelprop")
+    with cuda_neutralized():
+        lp = labelprop.LabelPropVOS_CRW(
             {"CXT_SIZE": cxt, "RADIUS": radius, "TEMP": temp, "KNN": knn}
         )
         T, N, C = emb.shape
-        M = seed_onehot.shape[-1]
         # feats: [1, K, h=N, w=1]; masks: [1, M, N, 1]
         feats = [torch.tensor(emb[0].T[None, :, :, None])]
         masks = [torch.tensor(seed_onehot.T[None, :, :, None])]
@@ -59,8 +48,6 @@ def run_reference_labelprop(emb, seed_onehot, cxt, radius, temp, knn):
             masks.append(mask)
             preds.append(mask[0, :, :, 0].T.numpy())
         return np.stack(preds)
-    finally:
-        torch.Tensor.to = orig_to
 
 
 @pytest.mark.parametrize(
@@ -103,22 +90,10 @@ def run_reference_labelprop_longmem(
     fires — this isolates the affinity/topk/softmax/weighted-sum math."""
     import torch
 
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-    from imported.labelprop import LabelPropVOS_CRW  # noqa: E402
-
-    orig_to = torch.Tensor.to
-
-    def patched_to(self, *args, **kwargs):
-        args = tuple("cpu" if a == "cuda" else a for a in args)
-        if kwargs.get("device") == "cuda":
-            kwargs["device"] = "cpu"
-        return orig_to(self, *args, **kwargs)
-
-    torch.Tensor.to = patched_to
-    try:
+    labelprop = import_reference("imported.labelprop")
+    with cuda_neutralized():
         T, N, C = emb.shape
-        lp = LabelPropVOS_CRW(
+        lp = labelprop.LabelPropVOS_CRW(
             {"CXT_SIZE": T + cxt + 8, "RADIUS": radius, "TEMP": temp, "KNN": knn}
         )
         all_feats = [torch.tensor(emb[t].T[None, :, :, None]) for t in range(T)]
@@ -136,8 +111,6 @@ def run_reference_labelprop_longmem(
             all_masks.append(mask)
             preds.append(mask[0, :, :, 0].T.numpy())
         return np.stack(preds)
-    finally:
-        torch.Tensor.to = orig_to
 
 
 @pytest.mark.parametrize("long_mem", [(0, 2, 5), (1, 3), ()])

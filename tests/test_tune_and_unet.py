@@ -80,7 +80,9 @@ def test_asha_parallel_trials_on_mesh():
         reduction_factor=2, seed=0, log=lambda s: None,
     )
     best_seq = run_asha(make_trainer, train_epoch, **kw)
-    best_par = run_asha(make_trainer, train_epoch, devices=jax.devices(), **kw)
+    best_par = run_asha_recorded(
+        make_trainer, train_epoch, devices=jax.devices(), **kw
+    )
     assert best_par.config == best_seq.config
     assert best_par.losses == best_seq.losses
 
@@ -101,13 +103,13 @@ def test_asha_parallel_trials_on_mesh():
     assert overlap, "no two trials overlapped in time"
 
 
-# captures the trial list of the most recent run_asha call (for the
-# concurrency assertions above) without changing the public API
+# captures the trial list of its run_asha call (for the concurrency and
+# promotion-resume assertions) — used EXPLICITLY by the tests that inspect
+# trials, so plain run_asha calls stay uninstrumented
 _all_trials_of_last_run: list = []
-_orig_run_asha = run_asha
 
 
-def run_asha(*a, **kw):  # noqa: F811 - test-local instrumented wrapper
+def run_asha_recorded(*a, **kw):
     import radar_sounder_crw_tpu.train.tune as tune_mod
 
     orig_trial = tune_mod.Trial
@@ -120,7 +122,7 @@ def run_asha(*a, **kw):  # noqa: F811 - test-local instrumented wrapper
 
     tune_mod.Trial = RecordingTrial
     try:
-        best = _orig_run_asha(*a, **kw)
+        best = run_asha(*a, **kw)
     finally:
         tune_mod.Trial = orig_trial
     _all_trials_of_last_run[:] = created
@@ -304,7 +306,7 @@ def test_asha_resume_after_promotion_does_not_reprune(tmp_path):
     with pytest.raises(RuntimeError, match="simulated kill"):
         run_asha(make_trainer, crashing_epoch, **kw)
 
-    best = run_asha(make_trainer, train_epoch, **kw)
+    best = run_asha_recorded(make_trainer, train_epoch, **kw)
     trials = list(_all_trials_of_last_run)
     # both rung-1 survivors must have trained past the rung-1 budget; a
     # replayed promotion would have pruned one of them at epochs_done == 1
