@@ -114,7 +114,13 @@ SLOT_CHUNK = 8  # slots per in-place chunk pass; single-block plans pad the
 # benchmarking; values that don't divide a given kb are clamped to the
 # nearest-below divisor by _find_groups_for (a non-divisor would make the
 # covered prefix overrun the affinity scratch — OOB VMEM traffic).
-FIND_GROUPS = int(os.environ.get("RSCRW_FIND_GROUPS", "4"))
+# Default 8 from a v5e sweep over {1,2,4,8,13,26,52,104} at kb=104
+# (2026-08-18, fresh process each, 8-iter single-fetch): SHARAD N=113
+# 13.8/11.3/10.6/9.6/9.9/10.4/10.7/11.6 ms per 100 frames, MC3 N=190
+# 35.4/28.9/25.0/23.3/22.6/23.0/23.2/22.6 — finer groups bound each pass
+# tighter to the valid prefix until the per-group merge overhead wins;
+# 8 is at/near the optimum for both and divides every dynamic-plan kb.
+FIND_GROUPS = int(os.environ.get("RSCRW_FIND_GROUPS", "8"))
 
 
 def _find_groups_for(kb: int) -> int:
