@@ -123,12 +123,17 @@ SLOT_CHUNK = 8  # slots per in-place chunk pass; single-block plans pad the
 FIND_GROUPS = int(os.environ.get("RSCRW_FIND_GROUPS", "8"))
 
 
-def _find_groups_for(kb: int) -> int:
-    """Largest divisor of kb that is <= FIND_GROUPS (>= 1)."""
-    g = max(1, min(FIND_GROUPS, kb))
+def _find_divisor(kb: int, want: int) -> int:
+    """Largest divisor of kb that is <= want (>= 1)."""
+    g = max(1, min(want, kb))
     while kb % g:
         g -= 1
     return g
+
+
+def _find_groups_for(kb: int) -> int:
+    """Extraction-group count for a kb-slot plan (divisor-clamped)."""
+    return _find_divisor(kb, FIND_GROUPS)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -524,7 +529,10 @@ def _prop_step_kernel(
     # within ~1 MB of the hardware ceiling — measured 127.98M vs 127.55M
     # when the mask-add chain materialized at full size), so the in-place
     # transforms walk static slot chunks with ~CH*N_pad^2-sized temps.
-    CH = 8
+    # RSCRW_CH overrides for benchmarking; like FIND_GROUPS it is clamped
+    # to a divisor of kb — the dynamic path's tail zero-fill loop assumes
+    # CH | kb (it walks [nch_dyn, kb//CH) whole chunks).
+    CH = _find_divisor(kb, int(os.environ.get("RSCRW_CH", "8")))
 
     def _inplace_affinity(nch_dyn=None):
         # dot + mask + bias + temperature, computed and stored chunk-by-
