@@ -183,3 +183,22 @@ def test_plan_blocks_decisions():
     assert kb_sharad is not None and kb_sharad > kb
     # absurd N: even one slot per block cannot fit -> XLA fallback
     assert plan_blocks(101, 16384, 128, 5, 20) is None
+
+
+def test_find_divisor_clamps_to_kb_divisor():
+    """Non-divisor group/chunk overrides must clamp to the nearest-below
+    divisor — a non-divisor would make the dynamic kernel's covered prefix
+    overrun its affinity scratch (OOB VMEM) or skip the tail zero-fill."""
+    from radar_sounder_crw_tpu.ops.labelprop_pallas import _find_divisor
+
+    assert _find_divisor(104, 3) == 2  # 3 does not divide 104
+    assert _find_divisor(104, 8) == 8
+    assert _find_divisor(104, 16) == 13  # largest divisor <= 16
+    assert _find_divisor(104, 104) == 104
+    assert _find_divisor(104, 1000) == 104  # clamped to kb
+    assert _find_divisor(104, 0) == 1
+    assert _find_divisor(104, -5) == 1
+    for kb in (8, 16, 104, 184):
+        for want in range(1, kb + 5):
+            g = _find_divisor(kb, want)
+            assert kb % g == 0 and 1 <= g <= max(1, min(want, kb))
