@@ -102,7 +102,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_PAD = -1e30  # padding rows/slots: below every real candidate, no fp32 overflow
 NEG_SELECTED = -jnp.inf  # already-extracted winners: below everything
-NEG_INVALID_F = -1e12  # unwritten ring slots (== labelprop.NEG_INVALID)
+# unwritten ring slots: ONE constant shared with the XLA path — the kernels'
+# valid-prefix skipping and bit-parity depend on the bias values matching
+# exactly (labelprop.py builds the bias columns from it). labelprop imports
+# this module lazily inside functions, so the top-level import is cycle-free.
+from .labelprop import NEG_INVALID as NEG_INVALID_F  # noqa: E402
 DEFAULT_VMEM_BUDGET = 14 * 2**20  # conservative floor (~16 MB/core chips)
 SLOT_CHUNK = 8  # slots per in-place chunk pass; single-block plans pad the
 # slot axis to a SLOT_CHUNK multiple so dynamic chunk loops never straddle
@@ -120,7 +124,7 @@ SLOT_CHUNK = 8  # slots per in-place chunk pass; single-block plans pad the
 # 35.4/28.9/25.0/23.3/22.6/23.0/23.2/22.6 — finer groups bound each pass
 # tighter to the valid prefix until the per-group merge overhead wins;
 # 8 is at/near the optimum for both and divides every dynamic-plan kb.
-FIND_GROUPS = int(os.environ.get("RSCRW_FIND_GROUPS", "8"))
+FIND_GROUPS_DEFAULT = 8
 
 
 def _find_divisor(kb: int, want: int) -> int:
@@ -132,8 +136,15 @@ def _find_divisor(kb: int, want: int) -> int:
 
 
 def _find_groups_for(kb: int) -> int:
-    """Extraction-group count for a kb-slot plan (divisor-clamped)."""
-    return _find_divisor(kb, FIND_GROUPS)
+    """Extraction-group count for a kb-slot plan (divisor-clamped).
+
+    The env override is read at TRACE time, like RSCRW_CH — for BOTH knobs
+    an override only takes effect on a fresh trace (new shapes/static args,
+    or a new process); the env value is not part of any jit cache key, so
+    sweeps must use fresh processes (the recorded sweeps did)."""
+    return _find_divisor(
+        kb, int(os.environ.get("RSCRW_FIND_GROUPS", str(FIND_GROUPS_DEFAULT)))
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -230,7 +241,15 @@ def plan_blocks(
     single_budget = budget_bytes
     if budget_bytes is None:
         budget_bytes = default_vmem_budget()
-        single_budget = default_single_block_budget()
+        # the single-block estimate must also clear the kernel's compile
+        # limit (STEP_VMEM_LIMIT), with the same ~8% estimate-error margin
+        # the value-path/in-place switch uses: the estimate over-counts the
+        # in-place floor by roughly one affinity transient, and approving a
+        # plan in the (limit, budget] gap would fail Mosaic's scoped-VMEM
+        # check at compile instead of falling back to a multi-block plan
+        single_budget = min(
+            default_single_block_budget(), int(STEP_VMEM_LIMIT * 0.92)
+        )
     n_rows = _round_up(N, 8)  # candidate rows per slot (sublane-aligned)
     n_lanes = _round_up(N, 128)  # query lanes
     c_pad = _round_up(C, 128)
@@ -477,12 +496,10 @@ def _prop_step_kernel(
                 )
 
             if nch_dyn is None:
-                nfull = kb // CH
+                # CH | kb by the divisor clamp: whole chunks cover the block
                 jax.lax.fori_loop(
-                    0, nfull, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
+                    0, kb // CH, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
                 )
-                if kb % CH:
-                    wchunk(kb % CH, nfull * CH)
             else:
                 # valid-prefix W transform; the tail chunks were zero-filled
                 # at affinity time, so the full-width labels matmul below
@@ -555,12 +572,10 @@ def _prop_step_kernel(
             ) / temp_ref[0, 0]
 
         if nch_dyn is None:
-            nfull = kb // CH
+            # CH | kb by the divisor clamp: whole chunks cover the block
             jax.lax.fori_loop(
-                0, nfull, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
+                0, kb // CH, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
             )
-            if kb % CH:
-                mchunk(kb % CH, nfull * CH)
             return
         # dynamic valid-prefix: compute the valid chunks, zero-fill the W
         # tail (scratch persistence across kernel calls is not guaranteed,
@@ -970,6 +985,11 @@ def propagate_all_pallas(
     """
     T, N, C = emb.shape
     M = seed_labels.shape[-1]
+    if T == 1:
+        # single-frame sequence: nothing to propagate — return the seed,
+        # like the XLA/tiled paths' empty scan (a (0,)-length grid with
+        # zero-size embT/embP blocks is rejected by pallas_call)
+        return seed_labels.astype(jnp.float32)[None]
     L = len(long_mem)
     K = L + cxt
     n_pad = _round_up(N, 128)

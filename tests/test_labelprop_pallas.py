@@ -155,6 +155,101 @@ def test_dynamic_valid_prefix_is_bit_equal(nv):
     np.testing.assert_allclose(np.asarray(bounded), want, rtol=1e-4, atol=1e-6)
 
 
+def test_dynamic_saturated_prefix_takes_static_handoff():
+    """When the valid prefix covers every slot (ns_cover >= kb) the dynamic
+    kernel hands off to the static extraction (the hot path for the whole
+    back half of a T > cxt run, e.g. saturated MC3 frames) — requires kb ==
+    ns_cover, which no config in the bounded test above reaches (its K=12
+    pads to kb=16 > K). K=8 pads to kb=8, so nslots=8 saturates exactly."""
+    rng = np.random.default_rng(13)
+    K, N, C, M, knn = 8, 5, 8, 3, 4
+    feats = np.round(rng.standard_normal((K, N, C)), 1).astype(np.float32)
+    query = np.round(rng.standard_normal((N, C)), 1).astype(np.float32)
+    labels = rng.random((K, N, M)).astype(np.float32)
+    slot_bias = np.zeros(K, np.float32)  # all slots valid
+    mask_nn = radius_mask(N, 1, 3.0)
+    args = (
+        jnp.asarray(feats), jnp.asarray(query), jnp.asarray(mask_nn),
+        jnp.asarray(labels), jnp.asarray(slot_bias), 0.07, knn,
+    )
+    full = prop_step_pallas(*args, interpret=True)
+    saturated = prop_step_pallas(*args, interpret=True, nslots=K)
+    np.testing.assert_array_equal(np.asarray(saturated), np.asarray(full))
+    want = _xla_step_oracle(feats, query, mask_nn, labels, slot_bias, 0.07, knn)
+    np.testing.assert_allclose(np.asarray(saturated), want, rtol=1e-4, atol=1e-6)
+
+    # and through the scan: T > cxt saturates the ring for every frame
+    # t >= cxt, so the back half of the run executes this handoff per frame
+    from radar_sounder_crw_tpu.ops.labelprop import (
+        LabelPropConfig,
+        propagate_labels,
+    )
+
+    T = 14
+    emb = rng.standard_normal((T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seed = np.eye(M, dtype=np.float32)[rng.integers(0, M, N)]
+    cfg = LabelPropConfig(cxt_size=7, radius=3, temperature=0.07, knn=4)
+    s_x, p_x = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, None, "xla"
+    )
+    s_p, p_p = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, None, "pallas_interpret"
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p), np.asarray(s_x), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_p), np.asarray(p_x))
+
+
+def test_resident_kernel_single_frame_returns_seed():
+    """T=1: nothing to propagate — the resident kernel must return the seed
+    like the XLA/tiled paths' empty scan instead of building a (0,)-grid
+    pallas_call (which rejects zero-size blocks)."""
+    from radar_sounder_crw_tpu.ops.labelprop import (
+        LabelPropConfig,
+        propagate_labels,
+    )
+
+    rng = np.random.default_rng(17)
+    N, C, M = 6, 8, 3
+    emb = rng.standard_normal((1, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seed = np.eye(M, dtype=np.float32)[rng.integers(0, M, N)]
+    cfg = LabelPropConfig(cxt_size=4, radius=3, temperature=0.1, knn=3)
+    soft, pred = propagate_labels(
+        jnp.asarray(emb), jnp.asarray(seed), cfg, None,
+        "pallas_resident_interpret",
+    )
+    np.testing.assert_array_equal(np.asarray(soft), seed[None])
+    np.testing.assert_array_equal(np.asarray(pred), seed.argmax(-1)[None])
+
+
+def test_single_block_plans_respect_compile_limit(monkeypatch):
+    """plan_blocks must not approve a single-block plan whose estimate
+    exceeds the kernel's scoped-VMEM compile limit — such a plan would fail
+    in Mosaic instead of falling back to a multi-block plan. The K=100,
+    N=100, C=2048, M=100 config estimates ~99 MiB: inside the old 100 MiB
+    single-block budget, over the 92 MiB compile limit."""
+    from radar_sounder_crw_tpu.ops import labelprop_pallas as lpp
+
+    class FakeDev:
+        device_kind = "TPU v5 lite"
+
+    monkeypatch.setattr(lpp.jax, "devices", lambda: [FakeDev()])
+    K, N, C, M, knn = 100, 100, 2048, 100, 20
+    kb = lpp.plan_blocks(K, N, C, M, knn)
+    assert kb is not None
+    if kb >= K:  # single-block approved: its estimate must clear the limit
+        n_rows, n_lanes = lpp._round_up(N, 8), lpp._round_up(N, 128)
+        per_slot = 4 * n_rows * (
+            lpp._round_up(C, 128) + lpp._round_up(M, 8) + 2 * n_lanes
+        )
+        assert kb * per_slot < lpp.STEP_VMEM_LIMIT
+    else:
+        assert 1 <= kb < K  # fell back to a pipelined multi-block plan
+
+
 def test_default_vmem_budget_is_device_aware(monkeypatch):
     """Planning budget scales with device generation: the conservative
     14 MB floor off-TPU/unknown, 28 MB on v5e+ (measured faster plans —
