@@ -1,0 +1,143 @@
+"""Subprocess smoke tests for every CLI entry point.
+
+Each reference script (scripts/test/test*.py, heatmap.py, the dataset
+__main__ demo, scripts/train.py) has a same-named CLI here; these tests run
+each one end-to-end as a real subprocess on tiny configs — synthetic
+stand-ins where the proprietary radar products are absent, the committed
+MCoRDS1 fixture where a real-data path exists — and assert the script exits
+cleanly and writes its product artifacts. scripts/test_all.py has its own
+fixture-driven smoke in test_data_io.py; scripts/annotate.py a protocol
+drive in test_annotate_server.py.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE_ROOT = os.path.join(REPO, "tests", "fixtures", "data_root")
+
+
+def run_script(script, args, tmp_path, data_root=None, timeout=560):
+    env = dict(os.environ)
+    env.update(RSCRW_FORCE_CPU="1", JAX_PLATFORMS="")
+    if data_root is not None:
+        env["RSCRW_DATA_ROOT"] = data_root
+    else:
+        # never let a developer's real data root slow the smoke down
+        env.pop("RSCRW_DATA_ROOT", None)
+    proc = subprocess.run(
+        [sys.executable, os.path.join("scripts", script), *args],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"{script} failed\n--- stdout ---\n{proc.stdout[-2000:]}"
+        f"\n--- stderr ---\n{proc.stderr[-4000:]}"
+    )
+    return proc
+
+
+def test_test_cli_smoke(tmp_path):
+    out = str(tmp_path / "out")
+    proc = run_script(
+        "test.py",
+        ["--model", "0", "--dataset", "3", "--patch_size", "16", "16",
+         "--overlap", "0", "0", "--seq_length", "6", "-c", "6", "-r", "8",
+         "-t", "0.05", "-k", "5", "--allow_untrained",
+         "--output_folder", out],
+        tmp_path,
+    )
+    assert "Correcting at" in proc.stdout and "Test done." in proc.stdout
+    for f in ("_reco.png", "_corr.png"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_mc1_cli_smoke(tmp_path):
+    out = str(tmp_path / "out")
+    proc = run_script(
+        "test_mc1.py",
+        ["--patch_size", "32", "32", "--overlap", "0", "0",
+         "--seq_length", "4", "-c", "4", "-r", "10", "-t", "0.1", "-k", "5",
+         "--allow_untrained", "--input_folder", str(tmp_path / "in"),
+         "--output_folder", out],
+        tmp_path,
+    )
+    assert "MC1 test done." in proc.stdout
+    for f in ("im0.png", "im0xent.png", "im2r.png", "im2f.png", "mc1_res.npy"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_mc3_cli_smoke(tmp_path):
+    out = str(tmp_path / "out")
+    proc = run_script(
+        "test_mc3.py",
+        ["--patch_size", "32", "32", "--overlap", "0", "0",
+         "--seq_length", "6", "-c", "6", "-r", "10", "-t", "0.01", "-k", "5",
+         "--change_points", "2", "2", "2", "--allow_untrained",
+         "--input_folder", str(tmp_path / "in"), "--output_folder", out],
+        tmp_path,
+    )
+    assert "MC3 test done." in proc.stdout
+    for f in ("jim0.png", "jim0c.png", "jim2x.png", "mc3_res.npy",
+              "mc3_resy.npy", "mc3_xenty.npy"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_sharad_cli_smoke(tmp_path):
+    out = str(tmp_path / "out")
+    proc = run_script(
+        "test_sharad.py",
+        ["--patch_size", "16", "16", "--overlap", "0", "0",
+         "--seq_length", "6", "-c", "6", "-r", "8", "-t", "0.1", "-k", "5",
+         "--change_points", "3", "3", "3", "--allow_untrained",
+         "--input_folder", str(tmp_path / "in"), "--output_folder", out],
+        tmp_path,
+    )
+    assert "SHARAD test done." in proc.stdout
+    for f in ("sharad_xent0.png", "sharad_res2.png", "s_res.npy",
+              "s_xent.npy"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_heatmap_cli_smoke(tmp_path):
+    out = str(tmp_path / "out")
+    proc = run_script(
+        "heatmap.py",
+        ["--model", "0", "--dataset", "1", "--patch_size", "64", "64",
+         "--overlap", "0", "0", "--allow_untrained",
+         "--input_folder", str(tmp_path / "in"), "--output_folder", out],
+        tmp_path,
+    )
+    assert "PELT breakpoints" in proc.stdout and "Heatmap done." in proc.stdout
+    for f in ("_heatmap.png", "_heatmap.pdf"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_show_grid_cli_smoke(tmp_path):
+    out_png = str(tmp_path / "grid.png")
+    proc = run_script(
+        "show_grid.py",
+        ["--dataset", "0", "--seq_length", "3", "--patch_size", "16", "16",
+         "--output", out_png],
+        tmp_path,
+        data_root=FIXTURE_ROOT,
+    )
+    assert "Saved patch grid" in proc.stdout
+    assert os.path.exists(out_png)
+
+
+def test_train_cli_smoke(tmp_path):
+    out = str(tmp_path / "res")
+    proc = run_script(
+        "train.py",
+        ["--model", "0", "--dataset", "0", "--patch_size", "16", "16",
+         "--overlap", "0", "0", "--seq_length", "4", "--batch_size", "4",
+         "--epochs", "1", "--output_folder", out, "--output_name", "smoke"],
+        tmp_path,
+        data_root=FIXTURE_ROOT,
+    )
+    assert "Finished training." in proc.stdout
+    assert os.path.exists(os.path.join(out, "models", "smoke.pt"))
+    assert os.path.exists(os.path.join(out, "output", "_loss.png"))
