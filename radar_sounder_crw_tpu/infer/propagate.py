@@ -71,16 +71,17 @@ def encode_sequence(model, variables, seq, use_pos_embed: bool, bn_train_mode: b
     jax.jit,
     static_argnames=(
         "model", "use_pos_embed", "bn_train_mode", "cfg", "kernel",
-        "xent_quirk", "compute_xent",
+        "xent_quirk", "compute_xent", "return_xent",
     ),
 )
 def _batched_encode_propagate(
     model, variables, seqs, seeds, cfg, use_pos_embed: bool,
     bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
-    compute_xent: bool,
+    compute_xent: bool, return_xent: bool = False,
 ):
     """ONE device program for full-survey inference: encode + propagate (+
-    change-point signal) with the radargram axis R sharded over the mesh.
+    change-point signal, + optionally the full xent maps) with the radargram
+    axis R sharded over the mesh.
 
     The encoder is vmapped over R, so BatchNorm batch statistics (when
     bn_train_mode) stay per-radargram — identical to the sequential path's
@@ -91,14 +92,13 @@ def _batched_encode_propagate(
         lambda s: encode_sequence(model, variables, s, use_pos_embed, bn_train_mode)
     )(seqs)
     _, pred = propagate_labels_batched(embs, seeds, cfg, None, kernel)
-    if not compute_xent:
-        return pred, None
-    sigs = jax.vmap(
-        lambda e: column_diffs(
-            horizontality_xent(e, xent_tau, quirk_channel_shift=xent_quirk)
-        )
-    )(embs)
-    return pred, sigs
+    xents = None
+    if compute_xent or return_xent:
+        xents = jax.vmap(
+            lambda e: horizontality_xent(e, xent_tau, quirk_channel_shift=xent_quirk)
+        )(embs)
+    sigs = jax.vmap(column_diffs)(xents) if compute_xent else None
+    return pred, sigs, (xents if return_xent else None)
 
 
 @partial(
@@ -326,7 +326,7 @@ class PropagationPipeline:
 
     def propagate_batch(
         self, seqs, seg_refs, mesh=None, use_last: bool = False,
-        detect_change: bool = False,
+        detect_change: bool = False, return_xent: bool = False,
     ):
         """Full-survey inference: propagate R radargrams in one sharded
         device program (the scale-out equivalent of the reference's
@@ -340,9 +340,12 @@ class PropagationPipeline:
         device before the sharded propagation; the encoder is the dominant
         FLOPs, so the whole pipeline is sharded now.)
 
-        Returns (R, N, T) int32 predictions, or with detect_change=True a
+        Returns (R, N, T) int32 predictions; with detect_change=True a
         tuple (predictions, change_indices) where change detection runs on
-        the batched xent metric (device) + per-radargram PELT (host).
+        the batched xent metric (device) + per-radargram PELT (host); with
+        return_xent=True the per-radargram horizontality-xent maps (the
+        qualitative scripts' heatmap product, identical to the sequential
+        path's `PropagateResult.xent`) are appended as the last element.
         """
         from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple
 
@@ -375,20 +378,30 @@ class PropagationPipeline:
         seeds_d = jax.device_put(jnp.asarray(seeds_p), bsh)
         # kernel 'auto' resolves per backend: on TPU the fused Pallas step
         # under vmap measured 7.6x over the vmapped XLA top_k path (v5e)
-        pred, sigs = _batched_encode_propagate(
+        pred, sigs, xents = _batched_encode_propagate(
             self.model, self.variables, seqs_d, seeds_d, self.lp_cfg,
             self.use_pos_embed, self.bn_train_mode, "auto",
             self.xent_tau, self.xent_quirk,
             compute_xent=detect_change and T >= 4,
+            return_xent=return_xent,
         )
         out = np.asarray(jax.device_get(pred))[:real]  # (R, T, N)
         preds = out.transpose(0, 2, 1).astype(np.int32)  # (R, N, T)
-        if not detect_change:
-            return preds
-
-        if sigs is not None:
-            sig_host = np.asarray(jax.device_get(sigs))[:real]
-            change = [detect_change_point(s, pen=self.pelt_pen) for s in sig_host]
-        else:
-            change = [None] * real
-        return preds, change
+        result = (preds,)
+        if detect_change:
+            if sigs is not None:
+                sig_host = np.asarray(jax.device_get(sigs))[:real]
+                change = [
+                    detect_change_point(s, pen=self.pelt_pen) for s in sig_host
+                ]
+            else:
+                change = [None] * real
+            result += (change,)
+        if return_xent:
+            xent_host = (
+                np.asarray(jax.device_get(xents))[:real]
+                if xents is not None
+                else None
+            )
+            result += (xent_host,)
+        return result if len(result) > 1 else preds

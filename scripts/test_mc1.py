@@ -33,6 +33,9 @@ def get_args_parser():
     parser.add_argument("--input_folder", default="./resources/input/")
     parser.add_argument("--output_folder", default="./resources/output/")
     parser.add_argument("--allow_untrained", action="store_true")
+    parser.add_argument("--batched", action="store_true",
+                        help="propagate all radargrams in one sharded device "
+                        "program per pass instead of a per-radargram loop")
     return parser
 
 
@@ -77,28 +80,49 @@ def main(args):
     ensure_dirs(args.output_folder)
     os.makedirs(args.output_folder, exist_ok=True)
 
+    fwd_refs = [sgs[t][:rg_h, :Wp] for t in range(len(seqs))]
+    stack = np.stack(seqs) if args.batched else None
     seg_list, xent_list = [], []
-    for t, seq in enumerate(seqs):
-        print("Radargram", t)
-        res = pipe(seq, sgs[t][:rg_h, :Wp])
-        pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
-        plot_segmentation(pred_px, os.path.join(args.output_folder, f"im{t}.png"),
+    if args.batched:
+        # one sharded device program for all radargrams (radargram axis over
+        # the mesh) — same outputs as the sequential loop, fewer dispatches
+        preds, xents = pipe.propagate_batch(stack, fwd_refs, return_xent=True)
+        for t in range(len(seqs)):
+            seg_list.append(pipe.prediction_to_pixels(preds[t], (rg_h, rg_len)))
+            xent_list.append(np.asarray(xents[t]))
+    else:
+        for t, seq in enumerate(seqs):
+            print("Radargram", t)
+            res = pipe(seq, fwd_refs[t])
+            seg_list.append(pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len)))
+            xent_list.append(res.xent)
+    for t in range(len(seqs)):
+        plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"im{t}.png"),
                           dataset=0, aspect=6)
-        plot_xent_heatmap(res.xent, os.path.join(args.output_folder, f"im{t}xent.png"))
-        seg_list.append(pred_px)
-        xent_list.append(res.xent)
+        plot_xent_heatmap(xent_list[t], os.path.join(args.output_folder, f"im{t}xent.png"))
 
     if args.use_last:
         print("Reversed step")
+        rev_refs = [sgrs[t][:rg_h, :Wp] for t in range(len(seqs))]
+        rev_list = []
+        if args.batched:
+            rpreds = pipe.propagate_batch(stack, rev_refs, use_last=True)
+            for t in range(len(seqs)):
+                # flip back (reference: test_mc1.py:120)
+                rev_list.append(
+                    pipe.prediction_to_pixels(rpreds[t], (rg_h, rg_len))[:, ::-1]
+                )
+        else:
+            for t, seq in enumerate(seqs):
+                print("Radargram", t)
+                res = pipe(seq, rev_refs[t], use_last=True)
+                pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
+                rev_list.append(pred_px[:, ::-1])
         final_list = []
-        for t, seq in enumerate(seqs):
-            print("Radargram", t)
-            res = pipe(seq, sgrs[t][:rg_h, :Wp], use_last=True)
-            pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
-            pred_px = pred_px[:, ::-1]  # flip back (reference: test_mc1.py:120)
-            plot_segmentation(pred_px, os.path.join(args.output_folder, f"im{t}r.png"),
+        for t in range(len(seqs)):
+            plot_segmentation(rev_list[t], os.path.join(args.output_folder, f"im{t}r.png"),
                               dataset=0, aspect=6)
-            merged = integrate_bidirectional(seg_list[t], pred_px, style="mcords1")
+            merged = integrate_bidirectional(seg_list[t], rev_list[t], style="mcords1")
             plot_segmentation(merged, os.path.join(args.output_folder, f"im{t}f.png"),
                               dataset=0, aspect=6)
             final_list.append(merged)

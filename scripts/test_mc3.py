@@ -32,6 +32,10 @@ def get_args_parser():
     parser.add_argument("--input_folder", default="./resources/input/")
     parser.add_argument("--output_folder", default="./resources/output/")
     parser.add_argument("--allow_untrained", action="store_true")
+    parser.add_argument("--batched", action="store_true",
+                        help="propagate all radargrams in one sharded device "
+                        "program per pass (corrections bucketed by tail "
+                        "length) instead of a per-radargram loop")
     return parser
 
 
@@ -75,48 +79,91 @@ def main(args):
     )
     ensure_dirs(args.output_folder)
 
+    fwd_refs = [sgs[t][:rg_h, :Wp] for t in range(len(seqs))]
+    stack = np.stack(seqs) if args.batched else None
     seg_list, xent_list, change_list = [], [], []
-    for t, seq in enumerate(seqs):
-        print("Radargram", t)
-        res = pipe(seq, sgs[t][:rg_h, :Wp])
-        pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
-        plot_segmentation(pred_px, os.path.join(args.output_folder, f"jim{t}.png"), dataset=1)
-        plot_xent_heatmap(res.xent, os.path.join(args.output_folder, f"jim{t}xent.png"),
+    if args.batched:
+        # one sharded device program for all radargrams (radargram axis
+        # over the mesh); change detection on the batched xent signal
+        preds, change_list, xents = pipe.propagate_batch(
+            stack, fwd_refs, detect_change=True, return_xent=True
+        )
+        for t in range(len(seqs)):
+            seg_list.append(pipe.prediction_to_pixels(preds[t], (rg_h, rg_len)))
+            xent_list.append(np.asarray(xents[t]))
+    else:
+        for t, seq in enumerate(seqs):
+            print("Radargram", t)
+            res = pipe(seq, fwd_refs[t])
+            seg_list.append(pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len)))
+            xent_list.append(res.xent)
+            change_list.append(res.change_idx)
+    for t in range(len(seqs)):
+        plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"jim{t}.png"), dataset=1)
+        plot_xent_heatmap(xent_list[t], os.path.join(args.output_folder, f"jim{t}xent.png"),
                           colorbar=True)
-        seg_list.append(pred_px)
-        xent_list.append(res.xent)
-        change_list.append(res.change_idx)
 
     print("Detected change points:", change_list)
     change_list = list(args.change_points)  # reference override (test_mc3.py:111-113)
 
     if args.correction:
         print("Correction step", change_list)
+        tasks = []  # (t, pixel_offset, seq_tail, seg_ref)
         for t, change_idx in enumerate(change_list):
             if change_idx is None:
                 continue
-            print("Radargram", t)
             small_length = args.seq_length - change_idx
             pixel_offset = correction_pixel_offset(small_length, patch[1], overlap[1])
             seq_tail = seqs[t][change_idx:]  # frame-tail slice (test_mc3.py:126)
             seg_ref = sgs[t][:, rg_len - pixel_offset : rg_len - pixel_offset + Wp]
-            corrected = pipe(seq_tail, seg_ref)
-            seg_list[t] = splice_correction(seg_list[t], corrected.prediction, pixel_offset)
+            tasks.append((t, pixel_offset, seq_tail, seg_ref))
+
+        if args.batched and tasks:
+            # one sharded program per distinct tail length (bounded compile
+            # shapes, same bucketing as scripts/test_all.py --batched)
+            groups: dict[int, list] = {}
+            for task in tasks:
+                groups.setdefault(task[2].shape[0], []).append(task)
+            for T_small, group in sorted(groups.items()):
+                print(f"Correction batch: {len(group)} radargram(s), T'={T_small}")
+                preds = pipe.propagate_batch(
+                    np.stack([g[2] for g in group]), [g[3] for g in group]
+                )
+                for (t, pixel_offset, _, _), pred in zip(group, preds):
+                    seg_list[t] = splice_correction(seg_list[t], pred, pixel_offset)
+        else:
+            for t, pixel_offset, seq_tail, seg_ref in tasks:
+                print("Radargram", t)
+                corrected = pipe(seq_tail, seg_ref)
+                seg_list[t] = splice_correction(
+                    seg_list[t], corrected.prediction, pixel_offset
+                )
+        for t, _, _, _ in tasks:
             plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"jim{t}c.png"),
                               dataset=1)
     np.save(os.path.join(args.output_folder, "mc3_res.npy"), np.stack(seg_list))
 
     if args.use_last:
         print("Reversed step")
+        rev_refs = [sgs[t][:rg_h, -Wp:] for t in range(len(seqs))]  # seed: LAST cols
+        rev_list = []
+        if args.batched:
+            rpreds = pipe.propagate_batch(stack, rev_refs, use_last=True)
+            for t in range(len(seqs)):
+                rev_list.append(
+                    pipe.prediction_to_pixels(rpreds[t], (rg_h, rg_len))[:, ::-1]
+                )
+        else:
+            for t, seq in enumerate(seqs):
+                print("Radargram", t)
+                res = pipe(seq, rev_refs[t], use_last=True)
+                pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
+                rev_list.append(pred_px[:, ::-1])
         final_list = []
-        for t, seq in enumerate(seqs):
-            print("Radargram", t)
-            res = pipe(seq, sgs[t][:rg_h, -Wp:], use_last=True)  # seed: LAST cols
-            pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
-            pred_px = pred_px[:, ::-1]
-            plot_segmentation(pred_px, os.path.join(args.output_folder, f"jim{t}r.png"),
+        for t in range(len(seqs)):
+            plot_segmentation(rev_list[t], os.path.join(args.output_folder, f"jim{t}r.png"),
                               dataset=1)
-            merged = integrate_bidirectional(seg_list[t], pred_px, style="mcords3")
+            merged = integrate_bidirectional(seg_list[t], rev_list[t], style="mcords3")
             plot_segmentation(merged, os.path.join(args.output_folder, f"jim{t}x.png"),
                               dataset=1)
             final_list.append(merged)

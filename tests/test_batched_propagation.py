@@ -50,6 +50,35 @@ def test_propagate_batch_matches_sequential():
         seq_res = pipe(seqs[t], refs[t], detect_change=True)
         assert change[t] == seq_res.change_idx
 
+    # return_xent: per-radargram xent maps identical to the sequential
+    # pipeline's PropagateResult.xent (the qualitative scripts' product)
+    preds3, xents = pipe.propagate_batch(
+        seqs, refs, mesh=make_mesh(), return_xent=True
+    )
+    np.testing.assert_array_equal(preds3, batched)
+    assert xents.shape[0] == 5
+    for t in range(5):
+        seq_res = pipe(seqs[t], refs[t], detect_change=False)
+        np.testing.assert_allclose(xents[t], seq_res.xent, rtol=1e-6, atol=1e-6)
+
+    # all three outputs at once: (preds, change, xents)
+    preds4, change4, xents4 = pipe.propagate_batch(
+        seqs, refs, mesh=make_mesh(), detect_change=True, return_xent=True
+    )
+    np.testing.assert_array_equal(preds4, batched)
+    assert change4 == change
+    np.testing.assert_array_equal(xents4, xents)
+
+    # use_last + return_xent: matches the sequential use_last call's xent
+    # (computed on the time-flipped sequence)
+    rpreds, rxents = pipe.propagate_batch(
+        seqs, refs, mesh=make_mesh(), use_last=True, return_xent=True
+    )
+    for t in range(5):
+        seq_res = pipe(seqs[t], refs[t], use_last=True, detect_change=False)
+        np.testing.assert_array_equal(rpreds[t], seq_res.prediction)
+        np.testing.assert_allclose(rxents[t], seq_res.xent, rtol=1e-6, atol=1e-6)
+
 
 def test_propagate_batch_bn_train_mode_per_radargram_stats():
     """The single sharded program vmaps the encoder over radargrams, so

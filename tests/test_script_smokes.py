@@ -55,13 +55,16 @@ def test_test_cli_smoke(tmp_path):
 
 
 def test_mc1_cli_smoke(tmp_path):
+    # --batched here: mc1's sharded fwd/rev path gets standalone smoke
+    # coverage (mc3's equality test below drives both modes of the shared
+    # machinery, sharad's smoke keeps the sequential loop covered)
     out = str(tmp_path / "out")
     proc = run_script(
         "test_mc1.py",
         ["--patch_size", "32", "32", "--overlap", "0", "0",
          "--seq_length", "4", "-c", "4", "-r", "10", "-t", "0.1", "-k", "5",
-         "--allow_untrained", "--input_folder", str(tmp_path / "in"),
-         "--output_folder", out],
+         "--allow_untrained", "--batched",
+         "--input_folder", str(tmp_path / "in"), "--output_folder", out],
         tmp_path,
     )
     assert "MC1 test done." in proc.stdout
@@ -99,6 +102,34 @@ def test_sharad_cli_smoke(tmp_path):
     for f in ("sharad_xent0.png", "sharad_res2.png", "s_res.npy",
               "s_xent.npy"):
         assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_mc3_cli_batched_matches_sequential(tmp_path):
+    """--batched (forward + bucketed corrections + reverse as sharded device
+    programs) must produce bit-identical .npy products to the sequential
+    per-radargram loop."""
+    import numpy as np
+
+    outs = {}
+    for mode, extra in (("seq", []), ("bat", ["--batched"])):
+        out = str(tmp_path / mode)
+        run_script(
+            "test_mc3.py",
+            ["--patch_size", "32", "32", "--overlap", "0", "0",
+             "--seq_length", "6", "-c", "6", "-r", "10", "-t", "0.01",
+             "-k", "5", "--change_points", "2", "3", "2",
+             "--allow_untrained", "--input_folder", str(tmp_path / "in"),
+             "--output_folder", out, *extra],
+            tmp_path,
+        )
+        outs[mode] = out
+    for f in ("mc3_res.npy", "mc3_resy.npy", "mc3_xenty.npy"):
+        a = np.load(os.path.join(outs["seq"], f))
+        b = np.load(os.path.join(outs["bat"], f))
+        if f == "mc3_xenty.npy":
+            np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5, err_msg=f)
+        else:
+            np.testing.assert_array_equal(b, a, err_msg=f)
 
 
 def test_heatmap_cli_smoke(tmp_path):
