@@ -44,7 +44,11 @@ def test_annotate_protocol_subprocess(tmp_path):
         {"cmd": "info"},
         {"cmd": "quit"},
     ]
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # JAX_PLATFORMS is baked into jax.config at interpreter start by the
+    # host's sitecustomize, so the env var cannot force CPU in a subprocess;
+    # RSCRW_FORCE_CPU is the scripts' config-level escape hatch (otherwise
+    # this test silently depends on a reachable TPU and hangs without one)
+    env = dict(os.environ, RSCRW_FORCE_CPU="1")
     proc = subprocess.run(
         [sys.executable, os.path.join(SCRIPTS, "annotate.py"), *ARGS],
         input="\n".join(json.dumps(c) for c in cmds) + "\n",
