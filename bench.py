@@ -402,7 +402,43 @@ def bench_full_survey():
     )
 
 
+def _probe_backend(timeout_s: int) -> None:
+    """Fail FAST if the device backend is unreachable.
+
+    Backend init happens inside the first jax.devices() call; on a tunneled
+    deployment a dead tunnel makes that call block INDEFINITELY (observed:
+    >10 min with zero output), so a driver-run bench would hang rather than
+    record an error. Probe device enumeration in a child process with a
+    hard timeout (normal init through the tunnel is a few seconds; compile
+    time is not part of this) and exit with a clear message instead.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench.py: device backend unreachable (jax.devices() did not "
+            f"return within {timeout_s}s — dead accelerator tunnel?); "
+            f"aborting instead of hanging.",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    if proc.returncode != 0:
+        print(
+            "bench.py: device backend failed to initialize:\n"
+            + proc.stderr[-2000:],
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+
 def main():
+    _probe_backend(int(os.environ.get("RSCRW_BENCH_PROBE_TIMEOUT", "600")))
+
     import jax
 
     from radar_sounder_crw_tpu.utils.compile_cache import enable_persistent_cache
