@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,14 +43,34 @@ def window_index_arrays(geo: GridGeometry, length: int | None = None):
 
 
 def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
-    """Jittable: (H, W) resident radargram + (B,) window indices
+    """Jittable: resident radargram(s) + window indices
     -> (B, T, N, h, w) batch, bit-identical to `extract_window` per item.
+
+    Two resident layouts (selected by rank, static under jit):
+      * rg (H, W), indices (B,) int32 — windows of ONE radargram.
+      * rg (D, pxh, Wmax), indices (B, 2) int32 rows of (segment, local
+        window) — windows across a STACK of radargrams sharing one
+        windowing geometry (`ConcatWindows`; segments zero-padded to Wmax
+        on the trace axis). Pair validity per segment is the caller's
+        contract — `resident_source` builds maps only from in-range pairs;
+        a traced gather cannot re-check per-segment `nw`.
 
     Column gather first (narrows W -> T*w per window), then the shared row
     gather — both are contiguous-axis `take`s, which XLA lowers to efficient
     dynamic-slice/gather HLO on TPU.
     """
     T = geo.length if length is None else length
+    row_idx, col_rel = window_index_arrays(geo, T)
+    if rg.ndim == 3:  # multi-radargram stack
+        d_idx, w_idx = indices[:, 0], indices[:, 1]
+        cols = (geo.w - geo.ow) * w_idx[:, None] + col_rel[None, :]  # (B, T*w)
+        rg_used = rg[:, : geo.pxh]  # (D, pxh, Wmax)
+        x = jax.vmap(
+            lambda d, c: jnp.take(jnp.take(rg_used, d, axis=0), c, axis=1)
+        )(d_idx, cols)  # (B, pxh, T*w)
+        x = jnp.take(x, jnp.asarray(row_idx), axis=1)  # (B, N*h, T*w)
+        x = x.reshape(-1, geo.nh, geo.h, T, geo.w)
+        return jnp.transpose(x, (0, 3, 1, 2, 4))  # (B, T, N, h, w)
     if isinstance(indices, (np.ndarray, list, tuple)):
         idx_arr = np.asarray(indices)
         # host path (extract_window) raises for out-of-range windows; a
@@ -59,9 +80,8 @@ def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
             raise IndexError(
                 f"window index out of range [0, {geo.nw}) in {idx_arr!r}"
             )
-    row_idx, col_rel = window_index_arrays(geo, T)
-    rg_used = rg[: geo.pxh]  # (pxh, W)
     cols = (geo.w - geo.ow) * indices[:, None] + col_rel[None, :]  # (B, T*w)
+    rg_used = rg[: geo.pxh]  # (pxh, W)
     x = jnp.take(rg_used, cols, axis=1)  # (pxh, B, T*w)
     x = jnp.take(x, jnp.asarray(row_idx), axis=0)  # (N*h, B, T*w)
     x = x.reshape(geo.nh, geo.h, -1, T, geo.w)
@@ -73,25 +93,91 @@ def make_window_gather(geo: GridGeometry, length: int | None = None):
     return partial(gather_windows, geo=geo, length=length)
 
 
+def _same_windowing(a: GridGeometry, b: GridGeometry) -> bool:
+    """Same patch/window parameters and height (trace length W may differ)."""
+    return (a.h, a.w, a.oh, a.ow, a.length, a.nh) == (
+        b.h, b.w, b.oh, b.ow, b.length, b.nh
+    )
+
+
 def resident_source(dataset):
-    """If `dataset` serves windows of a single host radargram, return
-    (rg (H, W) np.float32, geo, index_map) where index_map maps dataset
-    positions to window indices; else None (caller falls back to the host
-    windowing path). Supports RGWindows and SubsetWindows over one."""
+    """If `dataset` serves windows of host radargram(s), return
+    (rg, geo, index_map) for the resident gather path; else None (caller
+    falls back to the host windowing path).
+
+    Supported: RGWindows (rg (H, W), index_map (len,) window ids),
+    ConcatWindows over RGWindows sharing one windowing geometry (rg
+    (D, pxh, Wmax) zero-padded stack, index_map (len, 2) of (segment,
+    local window) pairs — the batched multi-radargram training source),
+    and SubsetWindows over either."""
     inner = getattr(dataset, "dataset", dataset)  # unwrap SubsetWindows
+    if inner is not dataset:
+        sub_idx = getattr(dataset, "indices", None)
+        if sub_idx is None:
+            return None
+        sub_idx = np.asarray(sub_idx, dtype=np.int64)
+        if sub_idx.size and (sub_idx.min() < 0 or sub_idx.max() >= len(inner)):
+            raise ValueError(
+                f"dataset index map exceeds the inner dataset's {len(inner)} "
+                f"windows"
+            )
+    else:
+        sub_idx = None
+
     rg = getattr(inner, "rg", None)
     geo = getattr(inner, "geo", None)
-    if rg is None or geo is None or not isinstance(rg, np.ndarray):
-        return None
-    if inner is dataset:
-        index_map = np.arange(len(dataset), dtype=np.int32)
-    else:
-        idxs = getattr(dataset, "indices", None)
-        if idxs is None:
-            return None
-        index_map = np.asarray(idxs, dtype=np.int32)
-    if index_map.size and (index_map.min() < 0 or index_map.max() >= geo.nw):
-        raise ValueError(
-            f"dataset index map exceeds the radargram's {geo.nw} windows"
+    if isinstance(rg, np.ndarray) and geo is not None:
+        index_map = (
+            np.arange(len(inner), dtype=np.int32)
+            if sub_idx is None
+            else sub_idx.astype(np.int32)
         )
-    return rg, geo, index_map
+        if index_map.size and (
+            index_map.min() < 0 or index_map.max() >= geo.nw
+        ):
+            raise ValueError(
+                f"dataset index map exceeds the radargram's {geo.nw} windows"
+            )
+        return rg, geo, index_map
+
+    # ConcatWindows over RGWindows: stack the segments (padded to the widest
+    # trace axis; pxh rows suffice — the gather never reads below them) and
+    # address windows by (segment, local index) pairs
+    segments = getattr(inner, "datasets", None)
+    if not segments:
+        return None
+    geo = getattr(inner, "geo", None)
+    for d in segments:
+        if not isinstance(getattr(d, "rg", None), np.ndarray):
+            return None
+        if getattr(d, "geo", None) is None or not _same_windowing(d.geo, geo):
+            return None  # same item shape but different overlap math
+    # memoized on the concat object: callers cache the device upload keyed
+    # on the HOST array's identity (train/crw_trainer.py), so the stack must
+    # be the same object across fit() calls
+    memo = getattr(inner, "_resident_stack", None)
+    if memo is None:
+        w_max = max(d.rg.shape[1] for d in segments)
+        stack = np.zeros((len(segments), geo.pxh, w_max), dtype=np.float32)
+        for i, d in enumerate(segments):
+            stack[i, :, : d.rg.shape[1]] = d.rg[: geo.pxh]
+        pairs = np.concatenate(
+            [
+                np.stack(
+                    [
+                        np.full(len(d), i, dtype=np.int32),
+                        np.arange(len(d), dtype=np.int32),
+                    ],
+                    axis=1,
+                )
+                for i, d in enumerate(segments)
+            ]
+        )
+        memo = (stack, pairs)
+        try:
+            inner._resident_stack = memo
+        except AttributeError:
+            pass  # slotted/frozen container: rebuild per call, still correct
+    stack, pairs = memo
+    index_map = pairs if sub_idx is None else pairs[sub_idx]
+    return stack, geo, index_map

@@ -61,10 +61,13 @@ class CRWTrainConfig:
     # steps (tested). TPU-targeted: XLA:CPU compiles the scanned conv-grad
     # body pathologically slowly, so leave at 1 for CPU runs.
     device_resident: bool | None = None  # build batches ON device by
-    # gathering windows from a once-uploaded radargram (kills the per-batch
+    # gathering windows from once-uploaded radargram(s) (kills the per-batch
     # host->device window upload — the ~8x epoch-wall overhead of round 2).
-    # None = auto: on whenever the dataset serves windows of one radargram;
-    # False forces the host windowing path (e.g. radargram too large for HBM).
+    # None = auto: on whenever the dataset serves windows of host radargrams
+    # (RGWindows; ConcatWindows of RGWindows with one windowing geometry —
+    # multi-radargram training gathers from a zero-padded (D, pxh, Wmax)
+    # stack; SubsetWindows over either); False forces the host windowing
+    # path (e.g. radargrams too large for HBM).
     s2d_stem: bool | None = None  # ResNet stem conv as space-to-depth
     # (models/resnet.py:StemConv); None = auto (on for TPU backends).
     fused_bn: bool | None = None  # hand-scheduled training BatchNorm
@@ -318,8 +321,9 @@ class CRWTrainer:
             resident = resident_source(dataset)
             if resident is None and cfg.device_resident is True:
                 raise ValueError(
-                    "device_resident=True needs a single-radargram window "
-                    "dataset (RGWindows or SubsetWindows)"
+                    "device_resident=True needs a window dataset over host "
+                    "radargrams (RGWindows, ConcatWindows of RGWindows with "
+                    "one windowing geometry, or SubsetWindows over either)"
                 )
         if resident is not None:
             rg_host, geo, index_map = resident
