@@ -38,6 +38,13 @@ class UNetTrainConfig:
     seed: int = 11
     quirk_double_softmax: bool = True
     dtype: object = jnp.float32
+    device_resident: bool | None = None  # gather each batch ON device from
+    # once-uploaded strips + compact int labels (one-hot rebuilt in-step,
+    # bit-identical when y is exactly one-hot — unfold_strips' output). The
+    # host path uploads ~B*H*W*(1+n_classes) floats per step (dominated by
+    # the one-hot, ~90 MB at the reference config); resident, only (B,)
+    # int32 indices cross the link. None = auto (on when y is exactly
+    # one-hot); False forces the host path; True raises on soft labels.
 
 
 class UNetState(struct.PyTreeNode):
@@ -86,6 +93,20 @@ class UNetTrainer:
         self._infer = jax.jit(
             self._infer_fn, in_shardings=(repl, bsh), out_shardings=bsh
         )
+        # resident variants: batch gathered from the once-uploaded strip
+        # stack by a (B,) index vector — the only per-step host traffic
+        self._step_res = jax.jit(
+            self._step_res_fn,
+            in_shardings=(repl, repl, repl, bsh, bsh),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
+        self._step_res_repl = jax.jit(
+            self._step_res_fn,
+            in_shardings=(repl, repl, repl, repl, repl),
+            out_shardings=(repl, None),
+            donate_argnums=(0,),
+        )
         self.state: UNetState | None = None
         self._epoch_idx = 0  # global epoch counter driving shuffle order
 
@@ -122,6 +143,15 @@ class UNetTrainer:
             ),
             loss,
         )
+
+    def _step_res_fn(self, state: UNetState, x_all, labels_all, idx, weights):
+        x = jnp.take(x_all, idx, axis=0)
+        y = jax.nn.one_hot(
+            jnp.take(labels_all, idx, axis=0),
+            self.config.n_classes,
+            dtype=jnp.float32,
+        )
+        return self._step_fn(state, x, y, weights)
 
     def _infer_fn(self, state: UNetState, x):
         logits = self.model.apply(
@@ -164,6 +194,39 @@ class UNetTrainer:
             self._epoch_idx = (
                 int(jax.device_get(self.state.step)) // steps_per_epoch
             )
+        # Device-resident strips (auto unless disabled): upload the strip
+        # stack and compact int labels once; each step gathers its batch and
+        # rebuilds the one-hot on-device — bit-identical batches, and the
+        # per-step upload drops from ~B*H*W*(1+n_classes) floats to B ints.
+        resident = None
+        if cfg.device_resident is not False:
+            y_arr = np.asarray(y)
+            labels = y_arr.argmax(axis=-1).astype(np.int32)
+            exact_onehot = (
+                y_arr.shape[-1] == cfg.n_classes
+                and ((y_arr == 0.0) | (y_arr == 1.0)).all()
+                and (y_arr.sum(axis=-1) == 1.0).all()
+            )
+            if not exact_onehot:
+                if cfg.device_resident is True:
+                    raise ValueError(
+                        "device_resident=True needs exactly one-hot labels "
+                        "(soft labels cannot round-trip through the compact "
+                        "int encoding)"
+                    )
+            else:
+                cached = getattr(self, "_resident_data", None)
+                if cached is not None and cached[0] is x and cached[1] is y:
+                    x_dev, labels_dev = cached[2], cached[3]
+                else:
+                    repl_sh = replicated(self.mesh)
+                    x_dev = jax.device_put(
+                        np.ascontiguousarray(x, dtype=np.float32), repl_sh
+                    )
+                    labels_dev = jax.device_put(labels, repl_sh)
+                    self._resident_data = (x, y, x_dev, labels_dev)
+                resident = (x_dev, labels_dev)
+
         history = []
         for epoch in range(cfg.epochs):
             t0 = time.time()
@@ -179,17 +242,27 @@ class UNetTrainer:
             bsh, repl = batch_sharding(self.mesh), replicated(self.mesh)
             for s in range(0, len(order), cfg.batch_size):
                 idx = order[s : s + cfg.batch_size]
+                w = np.ones(len(idx), np.float32)
+                full = len(idx) % n_dev == 0
+                sh = bsh if full else repl
+                if resident is not None:
+                    step = self._step_res if full else self._step_res_repl
+                    self.state, loss = step(
+                        self.state,
+                        resident[0],
+                        resident[1],
+                        jax.device_put(idx.astype(np.int32), sh),
+                        jax.device_put(w, sh),
+                    )
+                    losses.append(loss)
+                    continue
                 bx = np.ascontiguousarray(x[idx], dtype=np.float32)
                 by = np.ascontiguousarray(y[idx], dtype=np.float32)
-                w = np.ones(len(bx), np.float32)
                 # partial batch: replicate unpadded (exact BN statistics)
                 # instead of padding with duplicated rows; device_put on the
                 # HOST arrays uploads each shard once (no default-device
                 # staging copy)
-                step, sh = (
-                    (self._step, bsh) if len(bx) % n_dev == 0
-                    else (self._step_repl, repl)
-                )
+                step = self._step if full else self._step_repl
                 self.state, loss = step(
                     self.state,
                     jax.device_put(bx, sh),

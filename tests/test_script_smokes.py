@@ -20,9 +20,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE_ROOT = os.path.join(REPO, "tests", "fixtures", "data_root")
 
 
-def run_script(script, args, tmp_path, data_root=None, timeout=560):
+def run_script(script, args, tmp_path, data_root=None, timeout=560,
+               env_extra=None):
     env = dict(os.environ)
     env.update(RSCRW_FORCE_CPU="1", JAX_PLATFORMS="")
+    if env_extra:
+        env.update(env_extra)
     if data_root is not None:
         env["RSCRW_DATA_ROOT"] = data_root
     else:
@@ -130,6 +133,20 @@ def test_mc3_cli_batched_matches_sequential(tmp_path):
             np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-5, err_msg=f)
         else:
             np.testing.assert_array_equal(b, a, err_msg=f)
+
+
+def test_unet_cli_smoke(tmp_path):
+    """scripts/test_unet.py end-to-end on scaled synthetic SHARAD (the
+    device-resident strip path): train 1 epoch, eval, report + mIoU."""
+    proc = run_script(
+        "test_unet.py",
+        ["--patch_size", "912", "64", "--batch_size", "8", "--epochs", "1",
+         "--lr", "1e-3"],
+        tmp_path,
+        env_extra={"RSCRW_SYNTH_SCALE": "8"},
+    )
+    assert "mIoU:" in proc.stdout
+    assert "accuracy" in proc.stdout  # classification report rendered
 
 
 def test_heatmap_cli_smoke(tmp_path):

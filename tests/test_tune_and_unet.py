@@ -495,6 +495,33 @@ def test_unet_trains_and_predicts():
     assert acc > 0.4, f"unet accuracy {acc} too low"
 
 
+def test_unet_resident_matches_host_path():
+    """Device-resident strip training (batch gathered on-device from the
+    once-uploaded stack, one-hot rebuilt in-step) must match the host
+    per-batch-upload path; soft labels fall back to the host path in auto
+    mode and are rejected under device_resident=True."""
+    rg, seg = synthetic_radargram(H=32, W=160, nclasses=4, seed=9)
+    x, y = unfold_strips(rg, seg, strip_w=16, n_classes=4)
+    base = dict(batch_size=6, epochs=2, lr=1e-3, n_classes=4, seed=11)
+    losses = {}
+    for mode in (False, True):
+        t = UNetTrainer(UNetTrainConfig(**base, device_resident=mode))
+        losses[mode] = t.fit(x, y, log=lambda s: None)
+        # second fit on the same arrays reuses the cached upload
+        if mode:
+            assert t._resident_data[0] is x
+            t.fit(x, y, log=lambda s: None)
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-6, atol=1e-7)
+
+    y_soft = (y * 0.9 + 0.025).astype(np.float32)  # not exactly one-hot
+    auto = UNetTrainer(UNetTrainConfig(**base))
+    h = auto.fit(x, y_soft, log=lambda s: None)  # auto mode: host fallback
+    assert len(h) == 2 and not hasattr(auto, "_resident_data")
+    strict = UNetTrainer(UNetTrainConfig(**base, device_resident=True))
+    with pytest.raises(ValueError, match="one-hot"):
+        strict.fit(x, y_soft, log=lambda s: None)
+
+
 def test_unet_quirk_flag_changes_loss():
     rg, seg = synthetic_radargram(H=32, W=128, nclasses=5, seed=6)
     x, y = unfold_strips(rg, seg, strip_w=32, n_classes=5)
