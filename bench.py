@@ -410,7 +410,10 @@ def _probe_backend(timeout_s: int) -> None:
     >10 min with zero output), so a driver-run bench would hang rather than
     record an error. Probe device enumeration in a child process with a
     hard timeout (normal init through the tunnel is a few seconds; compile
-    time is not part of this) and exit with a clear message instead.
+    time is not part of this — 120 s default leaves a wide margin while
+    keeping the dead-tunnel stall bounded) and exit with a clear message
+    instead. The healthy-path cost is one duplicate backend init in the
+    child (a few seconds), paid once per bench run.
     """
     import subprocess
 
@@ -437,7 +440,7 @@ def _probe_backend(timeout_s: int) -> None:
 
 
 def main():
-    _probe_backend(int(os.environ.get("RSCRW_BENCH_PROBE_TIMEOUT", "600")))
+    _probe_backend(int(os.environ.get("RSCRW_BENCH_PROBE_TIMEOUT", "120")))
 
     import jax
 

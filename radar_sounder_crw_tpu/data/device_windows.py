@@ -62,6 +62,31 @@ def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
     T = geo.length if length is None else length
     row_idx, col_rel = window_index_arrays(geo, T)
     if rg.ndim == 3:  # multi-radargram stack
+        if isinstance(indices, (np.ndarray, list, tuple)):
+            # concrete pairs: validate what the shared geometry can see —
+            # segment range and the WIDEST segment's window bound (a traced
+            # `take` would silently clip instead). Windows beyond a NARROWER
+            # segment's own nw cannot be detected here (only Wmax is known);
+            # that stays the caller's contract (resident_source builds maps
+            # only from in-range pairs).
+            idx_arr = np.asarray(indices)
+            if idx_arr.ndim != 2 or idx_arr.shape[-1] != 2:
+                raise ValueError(
+                    f"stacked radargrams need (B, 2) (segment, window) "
+                    f"index pairs, got shape {idx_arr.shape}"
+                )
+            nw_max = (rg.shape[2] - geo.pxw) // (geo.w - geo.ow) + 1
+            if idx_arr.size and (
+                idx_arr[:, 0].min() < 0
+                or idx_arr[:, 0].max() >= rg.shape[0]
+                or idx_arr[:, 1].min() < 0
+                or idx_arr[:, 1].max() >= nw_max
+            ):
+                raise IndexError(
+                    f"(segment, window) pair out of range "
+                    f"[0, {rg.shape[0]}) x [0, {nw_max}) in {idx_arr!r}"
+                )
+            indices = idx_arr
         d_idx, w_idx = indices[:, 0], indices[:, 1]
         cols = (geo.w - geo.ow) * w_idx[:, None] + col_rel[None, :]  # (B, T*w)
         rg_used = rg[:, : geo.pxh]  # (D, pxh, Wmax)
@@ -147,6 +172,8 @@ def resident_source(dataset):
     if not segments:
         return None
     geo = getattr(inner, "geo", None)
+    if geo is None:
+        return None  # concat-like container without a shared geometry
     for d in segments:
         if not isinstance(getattr(d, "rg", None), np.ndarray):
             return None

@@ -200,32 +200,36 @@ class UNetTrainer:
         # per-step upload drops from ~B*H*W*(1+n_classes) floats to B ints.
         resident = None
         if cfg.device_resident is not False:
-            y_arr = np.asarray(y)
-            labels = y_arr.argmax(axis=-1).astype(np.int32)
-            exact_onehot = (
-                y_arr.shape[-1] == cfg.n_classes
-                and ((y_arr == 0.0) | (y_arr == 1.0)).all()
-                and (y_arr.sum(axis=-1) == 1.0).all()
-            )
-            if not exact_onehot:
-                if cfg.device_resident is True:
-                    raise ValueError(
-                        "device_resident=True needs exactly one-hot labels "
-                        "(soft labels cannot round-trip through the compact "
-                        "int encoding)"
-                    )
+            # identity-keyed cache first: epoch-per-fit drivers must not
+            # re-pay the one-hot exactness scan (3 full label passes) or the
+            # upload every call
+            cached = getattr(self, "_resident_data", None)
+            if cached is not None and cached[0] is x and cached[1] is y:
+                resident = (cached[2], cached[3])
             else:
-                cached = getattr(self, "_resident_data", None)
-                if cached is not None and cached[0] is x and cached[1] is y:
-                    x_dev, labels_dev = cached[2], cached[3]
+                y_arr = np.asarray(y)
+                exact_onehot = (
+                    y_arr.shape[-1] == cfg.n_classes
+                    and ((y_arr == 0.0) | (y_arr == 1.0)).all()
+                    and (y_arr.sum(axis=-1) == 1.0).all()
+                )
+                if not exact_onehot:
+                    if cfg.device_resident is True:
+                        raise ValueError(
+                            "device_resident=True needs exactly one-hot "
+                            "labels (soft labels cannot round-trip through "
+                            "the compact int encoding)"
+                        )
                 else:
                     repl_sh = replicated(self.mesh)
                     x_dev = jax.device_put(
                         np.ascontiguousarray(x, dtype=np.float32), repl_sh
                     )
-                    labels_dev = jax.device_put(labels, repl_sh)
+                    labels_dev = jax.device_put(
+                        y_arr.argmax(axis=-1).astype(np.int32), repl_sh
+                    )
                     self._resident_data = (x, y, x_dev, labels_dev)
-                resident = (x_dev, labels_dev)
+                    resident = (x_dev, labels_dev)
 
         history = []
         for epoch in range(cfg.epochs):

@@ -1,5 +1,8 @@
 """Shared helpers for the file-driven qualitative test scripts
-(test_mc1 / test_mc3 / test_sharad)."""
+(test_mc1 / test_mc3 / test_sharad): file loading with synthetic
+stand-ins, and the forward / reverse / correction propagation passes in
+both their sequential and `--batched` (one sharded device program per
+pass) forms."""
 
 from __future__ import annotations
 
@@ -9,6 +12,7 @@ import numpy as np
 
 from radar_sounder_crw_tpu.data import load_radargram, synthetic_radargram
 from radar_sounder_crw_tpu.data.patchify import unfold2d
+from radar_sounder_crw_tpu.infer import splice_correction
 
 
 def window_radargram(rg: np.ndarray, patch, overlap) -> np.ndarray:
@@ -46,6 +50,82 @@ def load_files_or_synth(
         rgs.append(np.asarray(rg, np.float32))
         sgs.append(np.asarray(sg, np.int32))
     return rgs, sgs
+
+
+def forward_pass(pipe, seqs, fwd_refs, out_hw, batched, detect_change=False):
+    """Forward propagation of every radargram -> (seg_list, xent_list,
+    change_list). Batched = ONE sharded device program over the radargram
+    axis (xent maps returned from the same program; change detection on the
+    batched signal when requested); sequential = the reference-style
+    per-radargram loop. change_list is [] when detect_change is False."""
+    seg_list, xent_list, change_list = [], [], []
+    if batched:
+        if detect_change:
+            preds, change_list, xents = pipe.propagate_batch(
+                np.stack(seqs), fwd_refs, detect_change=True, return_xent=True
+            )
+        else:
+            preds, xents = pipe.propagate_batch(
+                np.stack(seqs), fwd_refs, return_xent=True
+            )
+        for t in range(len(seqs)):
+            seg_list.append(pipe.prediction_to_pixels(preds[t], out_hw))
+            xent_list.append(np.asarray(xents[t]))
+    else:
+        for t, seq in enumerate(seqs):
+            print("Radargram", t)
+            res = pipe(seq, fwd_refs[t])
+            seg_list.append(pipe.prediction_to_pixels(res.prediction, out_hw))
+            xent_list.append(res.xent)
+            if detect_change:
+                change_list.append(res.change_idx)
+    return seg_list, xent_list, change_list
+
+
+def reverse_pass(pipe, seqs, rev_refs, out_hw, batched):
+    """Reversed-seed propagation -> per-radargram pixel maps, already
+    flipped back to original trace order (reference: test_mc1.py:120)."""
+    rev_list = []
+    if batched:
+        rpreds = pipe.propagate_batch(np.stack(seqs), rev_refs, use_last=True)
+        for t in range(len(seqs)):
+            rev_list.append(
+                pipe.prediction_to_pixels(rpreds[t], out_hw)[:, ::-1]
+            )
+    else:
+        for t, seq in enumerate(seqs):
+            print("Radargram", t)
+            res = pipe(seq, rev_refs[t], use_last=True)
+            rev_list.append(
+                pipe.prediction_to_pixels(res.prediction, out_hw)[:, ::-1]
+            )
+    return rev_list
+
+
+def run_corrections(pipe, tasks, seg_list, batched):
+    """Re-propagate each task's frame tail and splice it into seg_list (in
+    place). tasks: (t, pixel_offset, seq_tail, seg_ref) per radargram with a
+    change point. Batched groups tasks by tail length — one sharded device
+    program per distinct T' (bounded compile shapes, the same bucketing as
+    scripts/test_all.py --batched)."""
+    if batched and tasks:
+        groups: dict[int, list] = {}
+        for task in tasks:
+            groups.setdefault(task[2].shape[0], []).append(task)
+        for T_small, group in sorted(groups.items()):
+            print(f"Correction batch: {len(group)} radargram(s), T'={T_small}")
+            preds = pipe.propagate_batch(
+                np.stack([g[2] for g in group]), [g[3] for g in group]
+            )
+            for (t, pixel_offset, _, _), pred in zip(group, preds):
+                seg_list[t] = splice_correction(seg_list[t], pred, pixel_offset)
+    else:
+        for t, pixel_offset, seq_tail, seg_ref in tasks:
+            print("Radargram", t)
+            corrected = pipe(seq_tail, seg_ref)
+            seg_list[t] = splice_correction(
+                seg_list[t], corrected.prediction, pixel_offset
+            )
 
 
 def load_refs_or_fallback(

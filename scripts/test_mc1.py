@@ -13,8 +13,10 @@ import numpy as np
 
 from _common import ensure_dirs, load_encoder, normalize_pair
 from _qualitative import (
+    forward_pass,
     load_files_or_synth,
     load_refs_or_fallback,
+    reverse_pass,
     window_radargram,
 )
 
@@ -81,21 +83,9 @@ def main(args):
     os.makedirs(args.output_folder, exist_ok=True)
 
     fwd_refs = [sgs[t][:rg_h, :Wp] for t in range(len(seqs))]
-    stack = np.stack(seqs) if args.batched else None
-    seg_list, xent_list = [], []
-    if args.batched:
-        # one sharded device program for all radargrams (radargram axis over
-        # the mesh) — same outputs as the sequential loop, fewer dispatches
-        preds, xents = pipe.propagate_batch(stack, fwd_refs, return_xent=True)
-        for t in range(len(seqs)):
-            seg_list.append(pipe.prediction_to_pixels(preds[t], (rg_h, rg_len)))
-            xent_list.append(np.asarray(xents[t]))
-    else:
-        for t, seq in enumerate(seqs):
-            print("Radargram", t)
-            res = pipe(seq, fwd_refs[t])
-            seg_list.append(pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len)))
-            xent_list.append(res.xent)
+    seg_list, xent_list, _ = forward_pass(
+        pipe, seqs, fwd_refs, (rg_h, rg_len), args.batched
+    )
     for t in range(len(seqs)):
         plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"im{t}.png"),
                           dataset=0, aspect=6)
@@ -104,20 +94,7 @@ def main(args):
     if args.use_last:
         print("Reversed step")
         rev_refs = [sgrs[t][:rg_h, :Wp] for t in range(len(seqs))]
-        rev_list = []
-        if args.batched:
-            rpreds = pipe.propagate_batch(stack, rev_refs, use_last=True)
-            for t in range(len(seqs)):
-                # flip back (reference: test_mc1.py:120)
-                rev_list.append(
-                    pipe.prediction_to_pixels(rpreds[t], (rg_h, rg_len))[:, ::-1]
-                )
-        else:
-            for t, seq in enumerate(seqs):
-                print("Radargram", t)
-                res = pipe(seq, rev_refs[t], use_last=True)
-                pred_px = pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len))
-                rev_list.append(pred_px[:, ::-1])
+        rev_list = reverse_pass(pipe, seqs, rev_refs, (rg_h, rg_len), args.batched)
         final_list = []
         for t in range(len(seqs)):
             plot_segmentation(rev_list[t], os.path.join(args.output_folder, f"im{t}r.png"),

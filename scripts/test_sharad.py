@@ -12,7 +12,12 @@ import os
 import numpy as np
 
 from _common import ensure_dirs, load_encoder, normalize_pair
-from _qualitative import load_files_or_synth, window_radargram
+from _qualitative import (
+    forward_pass,
+    load_files_or_synth,
+    run_corrections,
+    window_radargram,
+)
 
 
 def get_args_parser():
@@ -42,7 +47,6 @@ def main(args):
     from radar_sounder_crw_tpu.infer import (
         PropagationPipeline,
         correction_pixel_offset,
-        splice_correction,
     )
     from radar_sounder_crw_tpu.ops import LabelPropConfig
     from radar_sounder_crw_tpu.utils.plotting import plot_segmentation
@@ -75,23 +79,9 @@ def main(args):
     ensure_dirs(args.output_folder)
 
     fwd_refs = [sgs[t][:rg_h, :Wp] for t in range(len(seqs))]
-    seg_list, xent_list, change_list = [], [], []
-    if args.batched:
-        # one sharded device program for all radargrams (radargram axis
-        # over the mesh); change detection on the batched xent signal
-        preds, change_list, xents = pipe.propagate_batch(
-            np.stack(seqs), fwd_refs, detect_change=True, return_xent=True
-        )
-        for t in range(len(seqs)):
-            seg_list.append(pipe.prediction_to_pixels(preds[t], (rg_h, rg_len)))
-            xent_list.append(np.asarray(xents[t]))
-    else:
-        for t, seq in enumerate(seqs):
-            print("Radargram", t)
-            res = pipe(seq, fwd_refs[t])
-            seg_list.append(pipe.prediction_to_pixels(res.prediction, (rg_h, rg_len)))
-            xent_list.append(res.xent)
-            change_list.append(res.change_idx)
+    seg_list, xent_list, change_list = forward_pass(
+        pipe, seqs, fwd_refs, (rg_h, rg_len), args.batched, detect_change=True
+    )
     for t in range(len(seqs)):
         plt.imshow(-xent_list[t], cmap="gray")
         plt.gca().set_aspect(xent_list[t].shape[1] / xent_list[t].shape[0] * 0.77)
@@ -113,26 +103,7 @@ def main(args):
         seg_ref = sgs[t][:, rg_len - pixel_offset : rg_len - pixel_offset + Wp]
         tasks.append((t, pixel_offset, seq_tail, seg_ref))
 
-    if args.batched and tasks:
-        # one sharded program per distinct tail length (bounded compile
-        # shapes, same bucketing as scripts/test_all.py --batched)
-        groups: dict[int, list] = {}
-        for task in tasks:
-            groups.setdefault(task[2].shape[0], []).append(task)
-        for T_small, group in sorted(groups.items()):
-            print(f"Correction batch: {len(group)} radargram(s), T'={T_small}")
-            preds = pipe.propagate_batch(
-                np.stack([g[2] for g in group]), [g[3] for g in group]
-            )
-            for (t, pixel_offset, _, _), pred in zip(group, preds):
-                seg_list[t] = splice_correction(seg_list[t], pred, pixel_offset)
-    else:
-        for t, pixel_offset, seq_tail, seg_ref in tasks:
-            print("Radargram", t)
-            corrected = pipe(seq_tail, seg_ref)
-            seg_list[t] = splice_correction(
-                seg_list[t], corrected.prediction, pixel_offset
-            )
+    run_corrections(pipe, tasks, seg_list, args.batched)
     for t, _, _, _ in tasks:
         plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"sharad_res{t}.png"),
                           dataset=3)

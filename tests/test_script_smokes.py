@@ -16,6 +16,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURE_ROOT = os.path.join(REPO, "tests", "fixtures", "data_root")
 
@@ -57,16 +59,18 @@ def test_test_cli_smoke(tmp_path):
         assert os.path.exists(os.path.join(out, f)), f
 
 
-def test_mc1_cli_smoke(tmp_path):
-    # --batched here: mc1's sharded fwd/rev path gets standalone smoke
-    # coverage (mc3's equality test below drives both modes of the shared
-    # machinery, sharad's smoke keeps the sequential loop covered)
+@pytest.mark.parametrize("mode", ["sequential", "batched"])
+def test_mc1_cli_smoke(tmp_path, mode):
+    # both modes: mc1's sequential branch has mc1-only code (per-radargram
+    # xent handling, the sgrs reversed-reference pass) no other script runs,
+    # and --batched covers the sharded fwd/rev path
     out = str(tmp_path / "out")
     proc = run_script(
         "test_mc1.py",
         ["--patch_size", "32", "32", "--overlap", "0", "0",
          "--seq_length", "4", "-c", "4", "-r", "10", "-t", "0.1", "-k", "5",
-         "--allow_untrained", "--batched",
+         "--allow_untrained",
+         *(["--batched"] if mode == "batched" else []),
          "--input_folder", str(tmp_path / "in"), "--output_folder", out],
         tmp_path,
     )
