@@ -3,9 +3,10 @@
 `RGWindows` is the capability-equivalent of the reference `RGDataset`
 (reference: src/dataset.py:5-47): it holds one full radargram on the host and
 serves windows of `length` frames as (T, N, h, w) float32 arrays. Unlike the
-reference it is torch-free at runtime (torch is only used, if present, to read
-legacy `.pt` files), keeps no mutable geometry state, and exposes batch
-assembly helpers so the device path always sees fixed static shapes.
+reference it is torch-free at runtime — even the reference's `.pt` data
+products load through the restricted torch-free reader (torch_pt.py) — keeps
+no mutable geometry state, and exposes batch assembly helpers so the device
+path always sees fixed static shapes.
 """
 
 from __future__ import annotations
@@ -22,17 +23,38 @@ _MIGUEL_SPLITS = (9984, 6656, 9984, 20000, 16640, 32864, 8992)
 
 
 def load_radargram(filepath: str) -> np.ndarray:
-    """Load a 2-D radargram from .npy / .npz / legacy torch .pt files."""
+    """Load a 2-D radargram from .npy / .npz / torch .pt files.
+
+    .pt files go through the TORCH-FREE restricted reader (data/torch_pt.py),
+    so the reference's data products (reference: src/utils.py:28-43) load on
+    a torch-less TPU VM; torch, if installed, is only a fallback for exotic
+    .pt layouts the restricted reader refuses.
+    """
     if filepath.endswith(".npy"):
         return np.asarray(np.load(filepath), dtype=np.float32)
     if filepath.endswith(".npz"):
         with np.load(filepath) as z:
             return np.asarray(z[z.files[0]], dtype=np.float32)
     if filepath.endswith(".pt"):
-        import torch  # host-side IO only; never on the device path
+        from .torch_pt import load_pt
 
-        t = torch.load(filepath, map_location="cpu", weights_only=False)
-        return np.asarray(t.float().numpy(), dtype=np.float32)
+        try:
+            t = load_pt(filepath)
+        except Exception as e:  # non-tensor layout: try torch if available
+            try:
+                import torch
+            except ImportError:
+                raise ValueError(
+                    f"{filepath}: the torch-free .pt reader failed ({e}) and "
+                    f"torch is not installed to fall back on"
+                ) from e
+            t = torch.load(filepath, map_location="cpu", weights_only=False)
+            t = t.float().numpy()
+        if not isinstance(t, np.ndarray):
+            raise ValueError(
+                f"{filepath}: expected a tensor, found {type(t).__name__}"
+            )
+        return np.asarray(t, dtype=np.float32)
     raise ValueError(f"Unsupported radargram format: {filepath}")
 
 

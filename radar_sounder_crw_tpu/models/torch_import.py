@@ -136,10 +136,26 @@ def import_state_dict(state_dict: dict) -> dict:
 
 
 def load_torch_checkpoint(path: str) -> dict:
-    """Read a torch .pt state_dict file and convert (host-side IO only)."""
-    import torch
+    """Read a torch .pt state_dict file and convert (host-side IO only).
 
-    sd = torch.load(path, map_location="cpu", weights_only=False)
+    Goes through the TORCH-FREE restricted reader first (data/torch_pt.py),
+    so reference-trained checkpoints load on a torch-less TPU VM; an
+    installed torch is only the fallback for layouts the restricted reader
+    refuses (e.g. a pickled nn.Module instead of a state_dict)."""
+    from ..data.torch_pt import load_pt
+
+    try:
+        sd = load_pt(path)
+    except Exception as e:
+        try:
+            import torch
+        except ImportError:
+            raise ValueError(
+                f"{path}: the torch-free .pt reader failed ({e}) and torch "
+                f"is not installed to fall back on — if this checkpoint is a "
+                f"whole pickled module, re-save it as a state_dict"
+            ) from e
+        sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return import_state_dict(sd)

@@ -46,12 +46,13 @@ class CheckpointManager:
 def save_encoder_torch(variables: dict, path: str):
     """Export encoder weights as a torch state_dict .pt file — the artifact
     format every reference test script loads (reference: scripts/train.py:92,
-    scripts/test/test_all.py:54)."""
-    import torch
-
+    scripts/test/test_all.py:54). Written by the TORCH-FREE .pt writer
+    (data/torch_pt.py), so the interchange works on a torch-less TPU VM;
+    real torch.load opens the result (round-trip tested)."""
+    from ..data.torch_pt import save_pt
     from ..models.torch_import import export_state_dict
 
     host_vars = jax.tree.map(lambda x: np.asarray(x), variables)
-    sd = {k: torch.from_numpy(v.copy()) for k, v in export_state_dict(host_vars).items()}
+    sd = {k: np.ascontiguousarray(v) for k, v in export_state_dict(host_vars).items()}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    torch.save(sd, path)
+    save_pt(path, sd)

@@ -1,0 +1,204 @@
+"""Torch-free .pt IO (data/torch_pt.py): round-trips against real torch,
+restricted-unpickler safety, and the torch-BLOCKED end-to-end data path
+(VERDICT r3 #4 done-criterion: a subprocess that cannot import torch still
+loads a real-layout .pt radargram through create_dataset)."""
+
+import os
+import pickle
+import subprocess
+import sys
+import zipfile
+
+import numpy as np
+import pytest
+import torch
+
+from radar_sounder_crw_tpu.data import load_pt, save_pt
+from radar_sounder_crw_tpu.data.torch_pt import _LEGACY_MAGIC  # noqa: F401
+
+FIXTURE_ROOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "data_root"
+)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the import blocker every torch-free subprocess below runs under
+_BLOCK_TORCH = """
+import sys
+
+class _Block:
+    def find_module(self, name, path=None):
+        return self if name == "torch" or name.startswith("torch.") else None
+    def load_module(self, name):
+        raise ImportError(f"torch is blocked in this subprocess ({name})")
+
+sys.meta_path.insert(0, _Block())
+sys.modules.pop("torch", None)
+"""
+
+
+def _run_torch_free(body: str, env_extra=None) -> subprocess.CompletedProcess:
+    env = dict(os.environ)
+    env.update(RSCRW_FORCE_CPU="1", JAX_PLATFORMS="")
+    env.update(env_extra or {})
+    return subprocess.run(
+        [sys.executable, "-c", _BLOCK_TORCH + body],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=560,
+    )
+
+
+def test_zip_tensor_roundtrip(tmp_path):
+    for t in (
+        torch.arange(24, dtype=torch.float32).reshape(2, 3, 4) * 1.5,
+        torch.arange(40, dtype=torch.float64).reshape(5, 8)[:, ::2],  # strided
+        torch.tensor(7, dtype=torch.int64),  # 0-dim
+        torch.tensor([True, False, True]),
+        torch.randn(6).half(),
+    ):
+        p = tmp_path / "t.pt"
+        torch.save(t, str(p))
+        got = load_pt(p)
+        assert np.array_equal(got, t.numpy()) and got.shape == tuple(t.shape)
+
+
+def test_zip_state_dict_roundtrip(tmp_path):
+    m = torch.nn.Sequential(torch.nn.Conv2d(1, 4, 3), torch.nn.BatchNorm2d(4))
+    p = tmp_path / "sd.pt"
+    torch.save(m.state_dict(), str(p))
+    got = load_pt(p)
+    for k, v in m.state_dict().items():
+        assert np.array_equal(np.asarray(got[k]), v.numpy()), k
+        assert np.asarray(got[k]).shape == tuple(v.shape), k
+
+
+def test_legacy_format_roundtrip(tmp_path):
+    base = torch.arange(20, dtype=torch.float32)
+    obj = {
+        "t": torch.randn(3, 5),
+        "v1": base[2:8],  # storage view with offset
+        "v2": base.reshape(4, 5)[1:3],
+        "n": 5,
+    }
+    p = tmp_path / "legacy.pt"
+    torch.save(obj, str(p), _use_new_zipfile_serialization=False)
+    got = load_pt(p)
+    assert np.array_equal(got["t"], obj["t"].numpy())
+    assert np.array_equal(got["v1"], obj["v1"].numpy())
+    assert np.array_equal(got["v2"], obj["v2"].numpy())
+    assert got["n"] == 5
+
+
+def test_writer_torch_reads_and_self_roundtrip(tmp_path):
+    obj = {
+        "a": np.random.default_rng(3).standard_normal((4, 7)).astype(np.float32),
+        "i8": np.arange(5, dtype=np.int8),
+        "big": np.full((3,), 2**40, np.int64),
+        "zero_d": np.float64(2.5),
+        "k": 3, "f": 2.5, "s": "hi", "neg": -(2**40), "none": None,
+        "lst": [1, 2.0, "three"], "tup": (4, 5),
+    }
+    p = tmp_path / "w.pt"
+    save_pt(p, obj)
+    # real torch opens it (weights_only — the strictest loader)
+    sd = torch.load(str(p), weights_only=True)
+    assert np.array_equal(sd["a"].numpy(), obj["a"])
+    assert sd["big"][0].item() == 2**40 and sd["neg"] == -(2**40)
+    assert float(sd["zero_d"]) == 2.5 and sd["s"] == "hi"
+    # and our own reader round-trips it
+    got = load_pt(p)
+    assert np.array_equal(got["a"], obj["a"]) and got["tup"] == (4, 5)
+
+
+def test_restricted_unpickler_refuses_arbitrary_globals(tmp_path):
+    evil = tmp_path / "evil.pt"
+    with zipfile.ZipFile(str(evil), "w") as z:
+        z.writestr("archive/data.pkl", pickle.dumps(os.system))
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_pt(evil)
+
+
+def test_load_radargram_pt_is_torch_free(tmp_path):
+    """load_radargram on a committed real-layout .pt works with torch
+    import-blocked (in-process check via the restricted reader)."""
+    body = """
+import numpy as np
+from radar_sounder_crw_tpu.data import load_radargram
+rg = load_radargram(
+    "tests/fixtures/data_root/MCoRDS1_2010_DC8/RG2_MCoRDS1_2010_DC8.pt"
+)
+assert rg.shape == (64, 1024) and rg.dtype == np.float32
+print("OK", rg.shape)
+"""
+    proc = _run_torch_free(body)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "OK" in proc.stdout
+
+
+def test_create_dataset_end_to_end_without_torch():
+    """VERDICT r3 #4 done-criterion: block `import torch`, then load a
+    real-layout .pt radargram end-to-end through create_dataset +
+    get_reference and serve a window."""
+    body = """
+import numpy as np
+from radar_sounder_crw_tpu.data import create_dataset, get_reference
+ds = create_dataset(id=0, length=6, dim=(16, 16), overlap=(8, 0), full=True)
+assert ds.rg.shape == (64, 1024)
+item = ds[0]
+assert item.shape == (6, 7, 16, 16) and item.dtype == np.float32
+n, seg = get_reference(id=0, h=64, w=0)
+assert n == 4 and seg.shape == (64, 1024)
+print("OK", item.shape)
+"""
+    proc = _run_torch_free(body, env_extra={"RSCRW_DATA_ROOT": FIXTURE_ROOT})
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "OK" in proc.stdout
+    assert "using synthetic" not in proc.stdout
+
+
+def test_checkpoint_interchange_without_torch(tmp_path):
+    """save_encoder_torch -> load_torch_checkpoint round-trips with torch
+    blocked: the .pt interchange no longer needs the optional dep at all."""
+    body = f"""
+import numpy as np
+import jax, jax.numpy as jnp
+from radar_sounder_crw_tpu.models import create_model, load_torch_checkpoint
+from radar_sounder_crw_tpu.train.checkpoint import save_encoder_torch
+model = create_model(0, False)
+variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), train=False)
+path = {str(tmp_path / "enc.pt")!r}
+save_encoder_torch(dict(variables), path)
+back = load_torch_checkpoint(path)
+flat_a = jax.tree_util.tree_leaves_with_path(dict(variables))
+flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+assert len(flat_a) == len(flat_b)
+for k, v in flat_a:
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_b[k]), err_msg=str(k))
+print("OK", len(flat_a), "leaves")
+"""
+    proc = _run_torch_free(body)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "OK" in proc.stdout
+
+
+def test_exported_checkpoint_loads_in_real_torch(tmp_path):
+    """The torch-free writer's state_dict is accepted by real torch.load
+    AND matches export_state_dict exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from radar_sounder_crw_tpu.models import create_model
+    from radar_sounder_crw_tpu.models.torch_import import export_state_dict
+    from radar_sounder_crw_tpu.train.checkpoint import save_encoder_torch
+
+    model = create_model(0, False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), train=False
+    )
+    path = str(tmp_path / "enc.pt")
+    save_encoder_torch(dict(variables), path)
+    sd = torch.load(path, weights_only=True)
+    want = export_state_dict(
+        jax.tree.map(np.asarray, dict(variables))
+    )
+    assert set(sd) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(sd[k].numpy(), want[k], err_msg=k)
