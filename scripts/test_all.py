@@ -116,15 +116,17 @@ def main(args):
     seg_list, change_list = [], []
     if args.batched:
         # one device program: encode + propagate all radargrams, the
-        # radargram axis sharded over the mesh (full-survey inference);
-        # change detection runs on the batched xent, host-side per radargram
-        seqs = np.stack([dataset[i] for i in rg_idx_list])
+        # radargram axis sharded over the mesh (full-survey inference).
+        # The radargram is uploaded ONCE and windows are gathered ON-DEVICE
+        # (propagate_survey) — the host never materializes or re-uploads the
+        # ~12x-larger overlapping window stack; change detection runs on the
+        # batched xent, host-side per radargram
         seg_refs = [
             seg[:rg_h, rg_len * t : rg_len * t + W]
             for t in range(len(rg_idx_list))
         ]
-        preds, change_list = pipe.propagate_batch(
-            seqs, seg_refs, detect_change=True
+        preds, change_list = pipe.propagate_survey(
+            dataset, rg_idx_list, seg_refs, detect_change=True
         )
         for t in range(len(rg_idx_list)):
             pred_px = pipe.prediction_to_pixels(preds[t], (seg.shape[0], rg_len))
@@ -157,24 +159,25 @@ def main(args):
     if args.correction:
         print("\nCorrection step")
         print("Change point for each radargram:", change_list)
-        tasks = []  # (t, pixel_offset, seq (T',N,h,w), seg_ref)
+        # (t, pixel_offset, small_length, frame_offset, seg_ref): the window
+        # spec — both correction variants are resident gathers (head window
+        # of small_length frames at offset 0, or the true tail at offset
+        # change_idx; frames and windows share the (w-ow) column stride)
+        tasks = []
         for t, change_idx in enumerate(change_list):
             if change_idx is None or change_idx >= args.seq_length - 1:
                 continue
             try:
                 small_length = args.seq_length - change_idx
                 pixel_offset = correction_pixel_offset(small_length, patch[1], overlap[1])
-                if args.correction_tail:
-                    # intended semantics: re-propagate the actual tail frames
-                    # (reference: scripts/test/test_mc3.py:126)
-                    seq = dataset[rg_idx_list[t]][change_idx:]
-                else:
-                    # reference test_all behavior: head window of small_length
-                    # frames, seeded with the tail's seed column
-                    # (reference: scripts/test/test_all.py:114)
-                    seq = dataset.get_smaller_item(rg_idx_list[t], small_length)
+                # tail variant (intended semantics, reference test_mc3.py:126)
+                # starts change_idx frames in; head variant (reference
+                # test_all.py:114 get_smaller_item) starts at the window head
+                frame_off = change_idx if args.correction_tail else 0
                 c0 = rg_len * t + rg_len - pixel_offset
-                tasks.append((t, pixel_offset, seq, seg[:, c0 : c0 + W]))
+                tasks.append(
+                    (t, pixel_offset, small_length, frame_off, seg[:, c0 : c0 + W])
+                )
             except Exception as e:  # reference swallows failures here too
                 print(f"  correction prep failed for radargram {t}: {e}")
 
@@ -190,25 +193,33 @@ def main(args):
 
         if args.batched and tasks:
             # one sharded device program per distinct correction length
-            # (radargrams bucketed by small_length -> bounded compile shapes)
+            # (radargrams bucketed by small_length -> bounded compile
+            # shapes), windows gathered from the already-resident radargram
             groups: dict[int, list] = {}
             for task in tasks:
-                groups.setdefault(task[2].shape[0], []).append(task)
+                groups.setdefault(task[2], []).append(task)
             for T_small, group in sorted(groups.items()):
                 print(f"Correction batch: {len(group)} radargram(s), T'={T_small}")
                 try:
-                    preds = pipe.propagate_batch(
-                        np.stack([g[2] for g in group]),
-                        [g[3] for g in group],
+                    preds = pipe.propagate_survey(
+                        dataset,
+                        [rg_idx_list[g[0]] for g in group],
+                        [g[4] for g in group],
+                        length=T_small,
+                        frame_offsets=[g[3] for g in group],
                     )
-                    for (t, pixel_offset, _, _), pred in zip(group, preds):
+                    for (t, pixel_offset, _, _, _), pred in zip(group, preds):
                         apply_correction(t, pixel_offset, pred)
                 except Exception as e:
                     print(f"  correction batch failed: {e}")
         else:
-            for t, pixel_offset, seq, seg_ref in tasks:
+            for t, pixel_offset, small_length, frame_off, seg_ref in tasks:
                 print("Radargram", t)
                 try:
+                    if frame_off:
+                        seq = dataset[rg_idx_list[t]][frame_off:]
+                    else:
+                        seq = dataset.get_smaller_item(rg_idx_list[t], small_length)
                     corrected = pipe(seq, seg_ref, detect_change=False)
                     apply_correction(t, pixel_offset, corrected.prediction)
                 except Exception as e:
@@ -216,15 +227,14 @@ def main(args):
 
     final_pred = np.concatenate(seg_list, axis=1)
     np.save(os.path.join(args.output_folder, "predicted_map.npy"), final_pred.astype(np.int8))
-    try:
-        import torch
+    # torch-format artifact for reference-side consumers (reference:
+    # scripts/test/test_all.py:128) — written torch-free (data/torch_pt.py)
+    from radar_sounder_crw_tpu.data import save_pt
 
-        torch.save(
-            torch.from_numpy(final_pred.astype(np.int8)),
-            os.path.join(args.output_folder, "predicted_map.pt"),
-        )
-    except ImportError:
-        pass
+    save_pt(
+        os.path.join(args.output_folder, "predicted_map.pt"),
+        final_pred.astype(np.int8),
+    )
     final_flat = final_pred.ravel()
     gt_flat = seg.ravel()
 
@@ -238,10 +248,12 @@ def main(args):
         ]
         rev_list = []
         if args.batched:
-            # same sharded device program as the forward pass, time-flipped;
-            # `seqs` is the forward pass's stack, unchanged since — rebuilding
-            # it would re-patchify every window (~hundreds of MB on a survey)
-            rev_preds = pipe.propagate_batch(seqs, rev_seg_refs, use_last=True)
+            # same resident-gather device program as the forward pass with
+            # the time-flip applied ON DEVICE — no window stack ever exists
+            # on the host
+            rev_preds = pipe.propagate_survey(
+                dataset, rg_idx_list, rev_seg_refs, use_last=True
+            )
             for t in range(len(rg_idx_list)):
                 rev_list.append(
                     pipe.prediction_to_pixels(rev_preds[t], (seg.shape[0], rg_len))
