@@ -75,7 +75,9 @@ def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
                     f"stacked radargrams need (B, 2) (segment, window) "
                     f"index pairs, got shape {idx_arr.shape}"
                 )
-            nw_max = (rg.shape[2] - geo.pxw) // (geo.w - geo.ow) + 1
+            # bound for THIS window length: shorter windows (correction
+            # tails) have more valid start positions than geo.nw
+            nw_max = (rg.shape[2] - geo.item_width(T)) // (geo.w - geo.ow) + 1
             if idx_arr.size and (
                 idx_arr[:, 0].min() < 0
                 or idx_arr[:, 0].max() >= rg.shape[0]
@@ -100,10 +102,13 @@ def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
         idx_arr = np.asarray(indices)
         # host path (extract_window) raises for out-of-range windows; a
         # traced `take` would silently clamp to the edge column instead —
-        # fail loudly while the indices are still concrete
-        if idx_arr.size and (idx_arr.min() < 0 or idx_arr.max() >= geo.nw):
+        # fail loudly while the indices are still concrete. Bound for THIS
+        # length: shorter (correction-tail) windows have more valid starts.
+        nw_t = (geo.W - geo.item_width(T)) // (geo.w - geo.ow) + 1
+        if idx_arr.size and (idx_arr.min() < 0 or idx_arr.max() >= nw_t):
             raise IndexError(
-                f"window index out of range [0, {geo.nw}) in {idx_arr!r}"
+                f"window index out of range [0, {nw_t}) for length={T} "
+                f"in {idx_arr!r}"
             )
     cols = (geo.w - geo.ow) * indices[:, None] + col_rel[None, :]  # (B, T*w)
     rg_used = rg[: geo.pxh]  # (pxh, W)

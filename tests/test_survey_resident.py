@@ -1,0 +1,197 @@
+"""Device-resident survey inference (PropagationPipeline.propagate_survey):
+equality with the host-staged propagate_batch and the sequential pipeline
+across every pass the product scripts run (VERDICT r3 #1), on the forced
+8-virtual-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from radar_sounder_crw_tpu.data import (
+    ConcatWindows,
+    RGWindows,
+    synthetic_radargram,
+)
+from radar_sounder_crw_tpu.infer import PropagationPipeline
+from radar_sounder_crw_tpu.models import create_model
+from radar_sounder_crw_tpu.ops import LabelPropConfig
+
+
+def _make_pipe(nclasses=4, model_id=0, **kw):
+    model = create_model(model_id, False)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), train=False
+    )
+    return PropagationPipeline(
+        model, dict(variables), LabelPropConfig(4, 4, 0.1, 3),
+        nclasses=nclasses, **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def single_rg():
+    rg, seg = synthetic_radargram(H=72, W=800, nclasses=4, seed=3)
+    T = 8
+    ds = RGWindows(rg, length=T, dim=(16, 16), overlap=(8, 0))
+    pipe = _make_pipe()
+    ids = list(range(0, len(ds), T))[:5]  # R=5: uneven over the 8-dev mesh
+    geo = ds.geo
+    refs = [
+        seg[: geo.rg_h(), geo.col_start(i) : geo.col_start(i) + 16] for i in ids
+    ]
+    return ds, pipe, ids, refs
+
+
+def test_survey_matches_host_staged_forward(single_rg):
+    ds, pipe, ids, refs = single_rg
+    seqs = np.stack([ds[i] for i in ids])
+    base, ch_base = pipe.propagate_batch(seqs, refs, detect_change=True)
+    got, ch_got = pipe.propagate_survey(ds, ids, refs, detect_change=True)
+    np.testing.assert_array_equal(base, got)
+    assert ch_base == ch_got
+
+
+def test_survey_matches_host_staged_reverse(single_rg):
+    ds, pipe, ids, refs = single_rg
+    seqs = np.stack([ds[i] for i in ids])
+    np.testing.assert_array_equal(
+        pipe.propagate_batch(seqs, refs, use_last=True),
+        pipe.propagate_survey(ds, ids, refs, use_last=True),
+    )
+
+
+def test_survey_matches_host_staged_xent(single_rg):
+    ds, pipe, ids, refs = single_rg
+    seqs = np.stack([ds[i] for i in ids])
+    _, xb = pipe.propagate_batch(seqs, refs, return_xent=True)
+    _, xs = pipe.propagate_survey(ds, ids, refs, return_xent=True)
+    np.testing.assert_array_equal(np.asarray(xb), np.asarray(xs))
+
+
+def test_survey_correction_head_and_tail_windows(single_rg):
+    """Both correction variants are resident gathers: the head window of
+    small_length frames (reference test_all.py:114 get_smaller_item) and the
+    true frame tail [change_idx:] (reference test_mc3.py:126) via
+    frame_offsets."""
+    ds, pipe, ids, refs = single_rg
+    Ts = 5
+    head_host = pipe.propagate_batch(
+        np.stack([ds.get_smaller_item(i, Ts) for i in ids]), refs
+    )
+    head_res = pipe.propagate_survey(ds, ids, refs, length=Ts)
+    np.testing.assert_array_equal(head_host, head_res)
+
+    ci = 3
+    tail_host = pipe.propagate_batch(np.stack([ds[i][ci:] for i in ids]), refs)
+    tail_res = pipe.propagate_survey(
+        ds, ids, refs, length=8 - ci, frame_offsets=[ci] * len(ids)
+    )
+    np.testing.assert_array_equal(tail_host, tail_res)
+
+
+def test_survey_matches_sequential_r11_8dev(single_rg):
+    """R=11 (not divisible by the 8-device mesh) resident survey equals the
+    sequential per-radargram pipeline bit-for-bit (VERDICT r3 #7 mesh
+    criterion)."""
+    ds, pipe, _, _ = single_rg
+    assert jax.device_count() >= 8
+    rg, seg = synthetic_radargram(H=72, W=800, nclasses=4, seed=3)
+    geo = ds.geo
+    ids = list(range(11))
+    refs = [
+        seg[: geo.rg_h(), geo.col_start(i) : geo.col_start(i) + 16] for i in ids
+    ]
+    got = pipe.propagate_survey(ds, ids, refs)
+    assert got.shape == (11, geo.nh, geo.length)
+    for k, (i, r) in enumerate(zip(ids, refs)):
+        res = pipe(ds[i], r, detect_change=False)
+        np.testing.assert_array_equal(got[k], res.prediction, err_msg=f"rg {k}")
+
+
+def test_survey_stacked_multi_radargram_matches_sequential():
+    """ConcatWindows source (the qualitative scripts' QualitativeSurvey
+    layout): radargrams of DIFFERENT widths sharing one window shape, each a
+    full-width window, gathered from the zero-padded device stack."""
+    patch, overlap, T = (16, 16), (8, 0), 6
+    pxw = T * 16
+    rgs, segs = [], []
+    for s, w_extra in zip((5, 6, 7), (0, 3, 7)):  # widths differ < (w-ow)
+        rg, seg = synthetic_radargram(H=72, W=pxw + w_extra, nclasses=4, seed=s)
+        rgs.append(rg)
+        segs.append(seg)
+    sets = [RGWindows(r, length=T, dim=patch, overlap=overlap) for r in rgs]
+    cat = ConcatWindows(sets)
+    assert len(cat) == 3  # one full-width window each
+    pipe = _make_pipe()
+    geo = cat.geo
+    refs = [s[: geo.rg_h(), :16] for s in segs]
+
+    got = pipe.propagate_survey(cat, [0, 1, 2], refs)
+    for k in range(3):
+        res = pipe(sets[k][0], refs[k], detect_change=False)
+        np.testing.assert_array_equal(got[k], res.prediction, err_msg=f"rg {k}")
+
+    # reverse + tail correction on the stacked source
+    rev = pipe.propagate_survey(cat, [0, 1, 2], refs, use_last=True)
+    for k in range(3):
+        res = pipe(sets[k][0], refs[k], use_last=True, detect_change=False)
+        np.testing.assert_array_equal(rev[k], res.prediction, err_msg=f"rg {k}")
+    ci = 2
+    tail = pipe.propagate_survey(
+        cat, [0, 1, 2], refs, length=T - ci, frame_offsets=[ci] * 3
+    )
+    for k in range(3):
+        res = pipe(sets[k][0][ci:], refs[k], detect_change=False)
+        np.testing.assert_array_equal(tail[k], res.prediction, err_msg=f"rg {k}")
+
+
+def test_survey_subset_source():
+    """SubsetWindows (create_dataset full=False) maps dataset positions
+    through its index map before gathering."""
+    from radar_sounder_crw_tpu.data.registry import SubsetWindows
+
+    rg, seg = synthetic_radargram(H=72, W=800, nclasses=4, seed=4)
+    T = 6
+    ds = RGWindows(rg, length=T, dim=(16, 16), overlap=(8, 0))
+    sub = SubsetWindows(ds, list(ds.non_overlapping_indices()))
+    pipe = _make_pipe()
+    geo = ds.geo
+    ids = [0, 2, 3]
+    refs = [
+        seg[: geo.rg_h(), geo.col_start(sub.indices[i]) :][:, :16] for i in ids
+    ]
+    got = pipe.propagate_survey(sub, ids, refs)
+    for k, i in enumerate(ids):
+        res = pipe(sub[i], refs[k], detect_change=False)
+        np.testing.assert_array_equal(got[k], res.prediction, err_msg=f"rg {k}")
+
+
+def test_survey_validates_ids_and_offsets(single_rg):
+    ds, pipe, ids, refs = single_rg
+    with pytest.raises(IndexError):
+        pipe.propagate_survey(ds, [len(ds) + 5], refs[:1])
+    with pytest.raises(IndexError):
+        pipe.propagate_survey(ds, [-1], refs[:1])
+    with pytest.raises(ValueError):
+        pipe.propagate_survey(ds, ids, refs, frame_offsets=[1])  # wrong shape
+    with pytest.raises(IndexError):
+        # offset pushes the window past the trace end for this length
+        pipe.propagate_survey(
+            ds, [len(ds) - 1], refs[:1], frame_offsets=[5]
+        )
+    with pytest.raises(TypeError):
+        pipe.propagate_survey(np.zeros((4, 4)), [0], refs[:1])
+
+
+def test_resident_radargram_memoized(single_rg):
+    """The survey re-uses one device copy across passes — forward, reverse,
+    correction hit the same upload."""
+    ds, pipe, ids, refs = single_rg
+    pipe.propagate_survey(ds, ids, refs)
+    memo1 = pipe._rg_memo[2]
+    pipe.propagate_survey(ds, ids, refs, use_last=True)
+    assert pipe._rg_memo[2] is memo1
+    pipe.propagate_survey(ds, ids, refs, length=5)
+    assert pipe._rg_memo[2] is memo1
