@@ -10,7 +10,12 @@ import os
 
 import numpy as np
 
-from radar_sounder_crw_tpu.data import load_radargram, synthetic_radargram
+from radar_sounder_crw_tpu.data import (
+    ConcatWindows,
+    RGWindows,
+    load_radargram,
+    synthetic_radargram,
+)
 from radar_sounder_crw_tpu.data.patchify import unfold2d
 from radar_sounder_crw_tpu.infer import splice_correction
 
@@ -22,6 +27,33 @@ def window_radargram(rg: np.ndarray, patch, overlap) -> np.ndarray:
     oh, ow = overlap
     grid = unfold2d(np.asarray(rg, np.float32), (h, w), (h - oh, w - ow))
     return np.ascontiguousarray(np.transpose(grid, (1, 0, 2, 3)))
+
+
+class QualitativeSurvey:
+    """The qualitative scripts' radargram set, usable by BOTH paths:
+    `seqs` are the host-windowed (T, N, h, w) arrays the sequential
+    per-radargram loop consumes, and `source`/`ids` expose the same
+    radargrams as a resident-gatherable stack so the --batched passes
+    upload each radargram ONCE and gather windows on-device
+    (PropagationPipeline.propagate_survey) instead of shipping the
+    ~h/(h-oh)-times-larger host window stacks through device_put."""
+
+    def __init__(self, rgs: list, patch, overlap):
+        self.seqs = [window_radargram(r, patch, overlap) for r in rgs]
+        shapes = {s.shape for s in self.seqs}
+        if len(shapes) != 1:
+            raise ValueError(
+                f"radargrams window to different shapes {shapes}; they "
+                f"cannot be batched"
+            )
+        T = self.seqs[0].shape[0]
+        # one full-width window per radargram: RGWindows with length=T has
+        # exactly one start position, and its window 0 is bit-identical to
+        # window_radargram (same unfold math, tested)
+        self.source = ConcatWindows(
+            [RGWindows(r, length=T, dim=patch, overlap=overlap) for r in rgs]
+        )
+        self.ids = [int(o) for o in self.source._offsets[:-1]]
 
 
 def load_files_or_synth(
@@ -52,21 +84,24 @@ def load_files_or_synth(
     return rgs, sgs
 
 
-def forward_pass(pipe, seqs, fwd_refs, out_hw, batched, detect_change=False):
+def forward_pass(pipe, survey, fwd_refs, out_hw, batched, detect_change=False):
     """Forward propagation of every radargram -> (seg_list, xent_list,
-    change_list). Batched = ONE sharded device program over the radargram
-    axis (xent maps returned from the same program; change detection on the
+    change_list). survey: a QualitativeSurvey. Batched = ONE sharded device
+    program over the radargram axis with DEVICE-RESIDENT window gathering
+    (xent maps returned from the same program; change detection on the
     batched signal when requested); sequential = the reference-style
     per-radargram loop. change_list is [] when detect_change is False."""
+    seqs = survey.seqs
     seg_list, xent_list, change_list = [], [], []
     if batched:
         if detect_change:
-            preds, change_list, xents = pipe.propagate_batch(
-                np.stack(seqs), fwd_refs, detect_change=True, return_xent=True
+            preds, change_list, xents = pipe.propagate_survey(
+                survey.source, survey.ids, fwd_refs,
+                detect_change=True, return_xent=True,
             )
         else:
-            preds, xents = pipe.propagate_batch(
-                np.stack(seqs), fwd_refs, return_xent=True
+            preds, xents = pipe.propagate_survey(
+                survey.source, survey.ids, fwd_refs, return_xent=True
             )
         for t in range(len(seqs)):
             seg_list.append(pipe.prediction_to_pixels(preds[t], out_hw))
@@ -82,12 +117,17 @@ def forward_pass(pipe, seqs, fwd_refs, out_hw, batched, detect_change=False):
     return seg_list, xent_list, change_list
 
 
-def reverse_pass(pipe, seqs, rev_refs, out_hw, batched):
+def reverse_pass(pipe, survey, rev_refs, out_hw, batched):
     """Reversed-seed propagation -> per-radargram pixel maps, already
-    flipped back to original trace order (reference: test_mc1.py:120)."""
+    flipped back to original trace order (reference: test_mc1.py:120).
+    Batched gathers from the already-resident radargrams and time-flips on
+    device."""
+    seqs = survey.seqs
     rev_list = []
     if batched:
-        rpreds = pipe.propagate_batch(np.stack(seqs), rev_refs, use_last=True)
+        rpreds = pipe.propagate_survey(
+            survey.source, survey.ids, rev_refs, use_last=True
+        )
         for t in range(len(seqs)):
             rev_list.append(
                 pipe.prediction_to_pixels(rpreds[t], out_hw)[:, ::-1]
@@ -102,27 +142,34 @@ def reverse_pass(pipe, seqs, rev_refs, out_hw, batched):
     return rev_list
 
 
-def run_corrections(pipe, tasks, seg_list, batched):
+def run_corrections(pipe, survey, tasks, seg_list, batched):
     """Re-propagate each task's frame tail and splice it into seg_list (in
-    place). tasks: (t, pixel_offset, seq_tail, seg_ref) per radargram with a
-    change point. Batched groups tasks by tail length — one sharded device
-    program per distinct T' (bounded compile shapes, the same bucketing as
-    scripts/test_all.py --batched)."""
+    place). tasks: (t, pixel_offset, change_idx, seg_ref) per radargram with
+    a change point — the tail is frames [change_idx:] (reference:
+    scripts/test/test_mc3.py:126). Batched groups tasks by tail length — one
+    sharded device program per distinct T' (bounded compile shapes, the same
+    bucketing as scripts/test_all.py --batched), windows gathered on-device
+    at frame offset change_idx from the resident radargrams."""
+    T = survey.seqs[0].shape[0]
     if batched and tasks:
         groups: dict[int, list] = {}
         for task in tasks:
-            groups.setdefault(task[2].shape[0], []).append(task)
+            groups.setdefault(T - task[2], []).append(task)
         for T_small, group in sorted(groups.items()):
             print(f"Correction batch: {len(group)} radargram(s), T'={T_small}")
-            preds = pipe.propagate_batch(
-                np.stack([g[2] for g in group]), [g[3] for g in group]
+            preds = pipe.propagate_survey(
+                survey.source,
+                [survey.ids[g[0]] for g in group],
+                [g[3] for g in group],
+                length=T_small,
+                frame_offsets=[g[2] for g in group],
             )
             for (t, pixel_offset, _, _), pred in zip(group, preds):
                 seg_list[t] = splice_correction(seg_list[t], pred, pixel_offset)
     else:
-        for t, pixel_offset, seq_tail, seg_ref in tasks:
+        for t, pixel_offset, change_idx, seg_ref in tasks:
             print("Radargram", t)
-            corrected = pipe(seq_tail, seg_ref)
+            corrected = pipe(survey.seqs[t][change_idx:], seg_ref)
             seg_list[t] = splice_correction(
                 seg_list[t], corrected.prediction, pixel_offset
             )

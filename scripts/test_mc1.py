@@ -17,7 +17,7 @@ from _qualitative import (
     load_files_or_synth,
     load_refs_or_fallback,
     reverse_pass,
-    window_radargram,
+    QualitativeSurvey,
 )
 
 
@@ -68,7 +68,8 @@ def main(args):
         sgs,
     )
 
-    seqs = [window_radargram(r, patch, overlap) for r in rgs]
+    survey = QualitativeSurvey(rgs, patch, overlap)
+    seqs = survey.seqs
     T, N, H, Wp = seqs[0].shape
     rg_len = T * (Wp - overlap[1]) + overlap[1]
     rg_h = N * (H - overlap[0]) + overlap[0]
@@ -84,7 +85,7 @@ def main(args):
 
     fwd_refs = [sgs[t][:rg_h, :Wp] for t in range(len(seqs))]
     seg_list, xent_list, _ = forward_pass(
-        pipe, seqs, fwd_refs, (rg_h, rg_len), args.batched
+        pipe, survey, fwd_refs, (rg_h, rg_len), args.batched
     )
     for t in range(len(seqs)):
         plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"im{t}.png"),
@@ -94,7 +95,7 @@ def main(args):
     if args.use_last:
         print("Reversed step")
         rev_refs = [sgrs[t][:rg_h, :Wp] for t in range(len(seqs))]
-        rev_list = reverse_pass(pipe, seqs, rev_refs, (rg_h, rg_len), args.batched)
+        rev_list = reverse_pass(pipe, survey, rev_refs, (rg_h, rg_len), args.batched)
         final_list = []
         for t in range(len(seqs)):
             plot_segmentation(rev_list[t], os.path.join(args.output_folder, f"im{t}r.png"),

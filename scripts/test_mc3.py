@@ -13,11 +13,11 @@ import numpy as np
 
 from _common import ensure_dirs, load_encoder, normalize_pair
 from _qualitative import (
+    QualitativeSurvey,
     forward_pass,
     load_files_or_synth,
     reverse_pass,
     run_corrections,
-    window_radargram,
 )
 
 
@@ -71,7 +71,8 @@ def main(args):
     if sgs[1].shape[0] > 900 and sgs[1].shape[1] > 1200:
         sgs[1][870:900, 1132:1200] = 2
 
-    seqs = [window_radargram(r, patch, overlap) for r in rgs]
+    survey = QualitativeSurvey(rgs, patch, overlap)
+    seqs = survey.seqs
     T, N, H, Wp = seqs[0].shape
     rg_len = T * (Wp - overlap[1]) + overlap[1]
     rg_h = N * (H - overlap[0]) + overlap[0]
@@ -86,7 +87,7 @@ def main(args):
 
     fwd_refs = [sgs[t][:rg_h, :Wp] for t in range(len(seqs))]
     seg_list, xent_list, change_list = forward_pass(
-        pipe, seqs, fwd_refs, (rg_h, rg_len), args.batched, detect_change=True
+        pipe, survey, fwd_refs, (rg_h, rg_len), args.batched, detect_change=True
     )
     for t in range(len(seqs)):
         plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"jim{t}.png"), dataset=1)
@@ -98,17 +99,18 @@ def main(args):
 
     if args.correction:
         print("Correction step", change_list)
-        tasks = []  # (t, pixel_offset, seq_tail, seg_ref)
+        tasks = []  # (t, pixel_offset, change_idx, seg_ref)
         for t, change_idx in enumerate(change_list):
             if change_idx is None:
                 continue
             small_length = args.seq_length - change_idx
             pixel_offset = correction_pixel_offset(small_length, patch[1], overlap[1])
-            seq_tail = seqs[t][change_idx:]  # frame-tail slice (test_mc3.py:126)
+            # tail = frames [change_idx:] (reference test_mc3.py:126); the
+            # batched path gathers it on-device at frame offset change_idx
             seg_ref = sgs[t][:, rg_len - pixel_offset : rg_len - pixel_offset + Wp]
-            tasks.append((t, pixel_offset, seq_tail, seg_ref))
+            tasks.append((t, pixel_offset, change_idx, seg_ref))
 
-        run_corrections(pipe, tasks, seg_list, args.batched)
+        run_corrections(pipe, survey, tasks, seg_list, args.batched)
         for t, _, _, _ in tasks:
             plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"jim{t}c.png"),
                               dataset=1)
@@ -117,7 +119,7 @@ def main(args):
     if args.use_last:
         print("Reversed step")
         rev_refs = [sgs[t][:rg_h, -Wp:] for t in range(len(seqs))]  # seed: LAST cols
-        rev_list = reverse_pass(pipe, seqs, rev_refs, (rg_h, rg_len), args.batched)
+        rev_list = reverse_pass(pipe, survey, rev_refs, (rg_h, rg_len), args.batched)
         final_list = []
         for t in range(len(seqs)):
             plot_segmentation(rev_list[t], os.path.join(args.output_folder, f"jim{t}r.png"),

@@ -16,7 +16,7 @@ from _qualitative import (
     forward_pass,
     load_files_or_synth,
     run_corrections,
-    window_radargram,
+    QualitativeSurvey,
 )
 
 
@@ -65,7 +65,8 @@ def main(args):
         seed0=70,
         flip_first=True,  # reference: test_sharad.py:54,58
     )
-    seqs = [window_radargram(r, patch, overlap) for r in rgs]
+    survey = QualitativeSurvey(rgs, patch, overlap)
+    seqs = survey.seqs
     T, N, H, Wp = seqs[0].shape
     rg_len = T * (Wp - overlap[1]) + overlap[1]
     rg_h = N * (H - overlap[0]) + overlap[0]
@@ -80,7 +81,7 @@ def main(args):
 
     fwd_refs = [sgs[t][:rg_h, :Wp] for t in range(len(seqs))]
     seg_list, xent_list, change_list = forward_pass(
-        pipe, seqs, fwd_refs, (rg_h, rg_len), args.batched, detect_change=True
+        pipe, survey, fwd_refs, (rg_h, rg_len), args.batched, detect_change=True
     )
     for t in range(len(seqs)):
         plt.imshow(-xent_list[t], cmap="gray")
@@ -93,17 +94,16 @@ def main(args):
     change_list = list(args.change_points)
 
     print("Correction step", change_list)
-    tasks = []  # (t, pixel_offset, seq_tail, seg_ref)
+    tasks = []  # (t, pixel_offset, change_idx, seg_ref)
     for t, change_idx in enumerate(change_list):
         if change_idx is None:
             continue
         small_length = args.seq_length - change_idx
         pixel_offset = correction_pixel_offset(small_length, patch[1], overlap[1])
-        seq_tail = seqs[t][change_idx:]
         seg_ref = sgs[t][:, rg_len - pixel_offset : rg_len - pixel_offset + Wp]
-        tasks.append((t, pixel_offset, seq_tail, seg_ref))
+        tasks.append((t, pixel_offset, change_idx, seg_ref))
 
-    run_corrections(pipe, tasks, seg_list, args.batched)
+    run_corrections(pipe, survey, tasks, seg_list, args.batched)
     for t, _, _, _ in tasks:
         plot_segmentation(seg_list[t], os.path.join(args.output_folder, f"sharad_res{t}.png"),
                           dataset=3)
