@@ -67,6 +67,40 @@ def bf16_peak_flops() -> float | None:
     return None
 
 
+_HOST_FETCH_FLOOR_MS: float | None = None
+
+
+def host_fetch_floor_ms() -> float | None:
+    """Measure this session's device->host round-trip floor: the wall time
+    of fetching ONE scalar that is already computed on device. Every wall
+    metric below ends in such a fetch by design (producing the host result
+    is part of the product latency), so recording the session's floor makes
+    driver-recorded numbers decomposable into device time + link time —
+    BASELINE.md documents 23-28 ms per fetch through this deployment's
+    remote-execution relay with multi-ms session-to-session variance
+    (VERDICT r3 weak #4/#8)."""
+    global _HOST_FETCH_FLOOR_MS
+    if _HOST_FETCH_FLOOR_MS is not None:
+        return _HOST_FETCH_FLOOR_MS
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.jit(lambda: jnp.float32(1.0))()
+    x.block_until_ready()
+    float(jax.device_get(x))  # warm the fetch path
+    samples = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(jax.device_get(x))
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    _HOST_FETCH_FLOOR_MS = round(samples[len(samples) // 2] * 1e3, 3)
+    print(f"host fetch floor: {_HOST_FETCH_FLOOR_MS} ms (median of 10)", file=sys.stderr)
+    return _HOST_FETCH_FLOOR_MS
+
+
 def read_anchor(*keys: str):
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     try:
@@ -89,6 +123,9 @@ def emit(metric, value, unit, vs_baseline, baseline_kind, **extra):
     }
     if baseline_kind:
         rec["baseline_kind"] = baseline_kind
+    if _HOST_FETCH_FLOOR_MS is not None:
+        # session link diagnostic: every wall metric ends in >=1 such fetch
+        rec["host_fetch_floor_ms"] = _HOST_FETCH_FLOOR_MS
     rec.update(extra)
     print(json.dumps(rec))
 
@@ -331,17 +368,16 @@ def bench_propagation_mc3():
 def bench_full_survey():
     """Full-survey inference (BASELINE.json config 5): batched seed
     propagation over every stride-T window of the synthetic Miguel/MCORDS3
-    flight line in ONE sharded device program (scripts/test_all.py --batched;
-    reference timing hook scripts/test/test_all.py:182). The flight line is
-    uploaded ONCE; windows are gathered on-device (data/device_windows.py)."""
+    flight line in ONE sharded device program, through the SAME product API
+    `scripts/test_all.py --batched` runs (PropagationPipeline.propagate_survey
+    — radargram uploaded once, windows gathered on-device; reference timing
+    hook scripts/test/test_all.py:182)."""
     import time
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from radar_sounder_crw_tpu.data import create_dataset, get_reference
-    from radar_sounder_crw_tpu.data.device_windows import gather_windows
     from radar_sounder_crw_tpu.infer import PropagationPipeline
     from radar_sounder_crw_tpu.models import create_model
     from radar_sounder_crw_tpu.ops import LabelPropConfig
@@ -370,18 +406,13 @@ def bench_full_survey():
     )
     seg_refs = [seg[:rg_h, rg_len * t : rg_len * t + patch[1]] for t in range(R)]
 
-    # upload the flight line once; gather all windows on-device
-    rg_dev = jax.device_put(jnp.asarray(ds.rg))
-    seqs_dev = jax.jit(
-        lambda rg, ii: gather_windows(rg, ii, geo)
-    )(rg_dev, jnp.asarray(idxs, jnp.int32))
-
-    preds = pipe.propagate_batch(seqs_dev, seg_refs)  # warmup/compile
+    # the PRODUCT path: upload-once + on-device gather inside propagate_survey
+    preds = pipe.propagate_survey(ds, idxs, seg_refs)  # warmup/compile+upload
     assert preds.shape == (R, N, T)
     iters = max(2, int(os.environ.get("RSCRW_BENCH_ITERS", "8")) // 4)
     t0 = time.perf_counter()
     for _ in range(iters):
-        preds = pipe.propagate_batch(seqs_dev, seg_refs)
+        preds = pipe.propagate_survey(ds, idxs, seg_refs)
     dt = (time.perf_counter() - t0) / iters
     rps = R / dt
     print(
@@ -448,6 +479,7 @@ def main():
 
     enable_persistent_cache()
     print(f"devices: {jax.devices()}", file=sys.stderr)
+    host_fetch_floor_ms()
     bench_train()
     bench_propagation()
     bench_interactive_reseed()
