@@ -60,11 +60,38 @@ class _RaisingPelt:
         raise RuntimeError("ruptures not available in this environment")
 
 
-def install_stubs() -> None:
+class _FunctionalPelt:
+    """ruptures.Pelt stand-in that WORKS: delegates to this framework's own
+    PELT (ops/pelt.pelt_rbf, proven optimal against exhaustive enumeration in
+    tests/test_analysis.py), so the reference's change-point detection runs
+    for real in the composed-equivalence tests — both sides then detect from
+    their own xent signals through identical segmentation code."""
+
+    def __init__(self, model="rbf", min_size=2, jump=5, **kw):
+        if model != "rbf":
+            raise ValueError(f"only the rbf cost is stubbed, got {model!r}")
+        self.min_size, self.jump = min_size, jump
+        self._signal = None
+
+    def fit(self, signal):
+        import numpy as np
+
+        self._signal = np.asarray(signal, dtype=np.float64)
+        return self
+
+    def predict(self, pen):
+        from radar_sounder_crw_tpu.ops.pelt import pelt_rbf
+
+        return pelt_rbf(
+            self._signal, pen=pen, min_size=self.min_size, jump=self.jump
+        )
+
+
+def install_stubs(functional_pelt: bool = False) -> None:
     """(Re)install functional stubs for ruptures/torchvision. Overwrites any
     earlier minimal stubs so the order tests run in doesn't matter."""
     rpt = types.ModuleType("ruptures")
-    rpt.Pelt = _RaisingPelt
+    rpt.Pelt = _FunctionalPelt if functional_pelt else _RaisingPelt
     tvt = types.ModuleType("torchvision.transforms")
     tvt.Resize = _TorchNearestResize
     tvt.InterpolationMode = types.SimpleNamespace(NEAREST="nearest")
@@ -117,7 +144,7 @@ def cuda_neutralized():
         torch.zeros = orig_zeros
 
 
-def import_reference(*names: str):
+def import_reference(*names: str, functional_pelt: bool = False):
     """Import reference modules by their flat names ('utils', 'model',
     'encoder', 'dataset', 'imported.labelprop'), purging cached copies so each
     test gets a clean import against the current stubs.
@@ -126,7 +153,7 @@ def import_reference(*names: str):
     bindings (reference src/model.py:3) capture the neutralized functions;
     attribute-style uses (torch.zeros in utils.py) still need the caller to
     wrap the *call* in cuda_neutralized()."""
-    install_stubs()
+    install_stubs(functional_pelt=functional_pelt)
     if REF not in sys.path:
         sys.path.insert(0, REF)
     for mod in ("model", "utils", "dataset", "encoder", "imported",

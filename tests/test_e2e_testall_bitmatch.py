@@ -1,0 +1,337 @@
+"""FULL scripts/test_all.py flow, composed bit-match (VERDICT r3 #2):
+the reference's OWN inline script logic — forward survey, change-point
+correction, reverse pass with the dataset-specific class merges,
+uncertain-class removal, and the report inputs
+(reference: scripts/test/test_all.py:43-187) — executed as-is on CPU torch,
+against OUR scripts/test_all.py main() in --batched (device-resident survey)
+mode, on a shared .pt fixture with shared encoder weights.
+
+The reference script module is imported from its real file; only its
+environment bindings are patched (create_dataset/get_reference -> the shared
+fixture, plot -> no-op, sklearn report calls -> capturing wrappers so the
+exact (gt, pred) arrays it scores are compared).
+
+Fixture design (why the maps can be BIT-equal across torch-CPU and XLA-CPU):
+the encoders agree only to ~1e-6 (different conv summation orders), and
+label propagation's only discontinuities are the top-k candidate selection
+and the final argmax. With a generic fixture, thousands of top-k boundary
+gaps are uniformly distributed, so some land under 1e-6 and flip — measured,
+not hypothetical. The fixture therefore engineers EVERY comparison gap to be
+large: RADIUS=0.5 restricts candidates to the query's own row (one per
+context frame), a per-frame unique amplitude signature separates same-row
+candidates across frames by ~1e-2, and per-row class bands separate the
+argmax classes. Label dynamics stay NON-trivial (dense seed speckle makes
+forward / reverse / correction seeds genuinely different, which the merge
+and splice phases must then reconcile — asserted below), while every
+selection is robust to 1e-6 noise. The chaotic-regime numeric equivalence
+of the kernels themselves is covered by the per-op suites
+(tests/test_reference_equivalence.py) and the T<=cxt+1 pipeline bitmatch
+(tests/test_e2e_bitmatch.py).
+
+Change-point detection is PINNED to frame 10 on both sides (a fixed-output
+ruptures stub for the reference, the same fixed detect_change_point for
+ours): PELT itself is proven optimal against exhaustive enumeration in
+tests/test_analysis.py, and pinning makes the correction phase fire
+deterministically on every radargram so its index math is actually compared.
+
+Asserted per dataset id in {0 (MCoRDS1), 1 (Miguel), 3 (SHARAD)}:
+  * identical predicted_map artifacts (forward+correction concat),
+  * identical final gt/pred report inputs after reverse merge + unc removal,
+  * identical confusion matrices.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from _reference_runtime import (
+    cuda_neutralized,
+    import_reference,
+    reference_available,
+)
+
+REF_SCRIPT = "/root/reference/scripts/test/test_all.py"
+
+pytestmark = pytest.mark.skipif(
+    not (reference_available() and os.path.exists(REF_SCRIPT)),
+    reason="reference tree not available",
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# shared geometry: T=16 frames of 16x16 patches, overlap (8,0) ->
+# frame stride 16 px, rg_len = item width = 256 px; two radargrams + slack
+# so the stride-T item picks are [0, 16] (start cols 0 and 256)
+T, PATCH, OVERLAP = 16, (16, 16), (8, 0)
+RG_LEN = T * (PATCH[1] - OVERLAP[1]) + OVERLAP[1]  # 256
+PXW = T * PATCH[1] - OVERLAP[1] * (T - 1)  # 256 (ow=0)
+HPX = 128  # nh = 15, rg_h = 128 (full height)
+R = 2
+WPX = R * RG_LEN + PATCH[1]  # 528 -> 18 windows, stride-T picks 2
+# cxt >= T-1 keeps the reference out of its ctx-trim misalignment bug
+# (intentionally fixed on our side — ops/labelprop.py module docstring);
+# RADIUS=0.5 = own-row candidates only (see module docstring)
+CFG = (16, 0.5, 0.05, 5)  # cxt, radius, temp, knn
+NCLS = {0: 4, 1: 6, 3: 5}
+PINNED_CHANGE = 10  # frames; = ruptures result [5, n] -> bkps[-2] + 5
+
+
+def _fixture(dataset_id: int):
+    """Deterministic, robustly-separated radargram + GT (module docstring)."""
+    rng = np.random.default_rng(40 + dataset_id)
+    ncls = NCLS[dataset_id]
+    rows = np.arange(HPX)
+    seg = (rows[:, None] * ncls // HPX) * np.ones((1, WPX), np.int64)
+    rg = np.zeros((HPX, WPX), np.float64)
+    for c in range(WPX):
+        g = c // (PATCH[1] - OVERLAP[1])  # global frame of this column
+        amp = 1.0 + 0.06 * ((g * 7) % 16)  # per-frame unique amplitude
+        rg[:, c] = amp * (0.5 * (rows // 8) + 0.3)  # per-patch-row signature
+    rg += 0.01 * rng.standard_normal(rg.shape)
+    # dense label speckle so forward / reverse / correction seed columns
+    # genuinely differ -> the merge and splice phases have real work
+    speckle = rng.random(seg.shape) < 0.2
+    seg[speckle] = rng.integers(0, ncls, size=int(speckle.sum()))
+    # the id-2 variant for MCoRDS1 unc removal: a band of uncertain label 4
+    unc = seg.copy()
+    unc[HPX // 3 : HPX // 3 + 14] = 4
+    return rg.astype(np.float32), seg, unc
+
+
+class _FixedPelt:
+    """ruptures.Pelt stub returning a fixed breakpoint list: change point
+    pinning for the composed test (change = bkps[-2]+5 = PINNED_CHANGE)."""
+
+    def __init__(self, *a, **kw):
+        pass
+
+    def fit(self, signal):
+        self._n = len(np.asarray(signal))
+        return self
+
+    def predict(self, pen):
+        return [PINNED_CHANGE - 5, self._n]
+
+
+def _load_ref_script():
+    """Exec the reference's own scripts/test/test_all.py as a module, with
+    its src-tree deps freshly imported against the stubs."""
+    import_reference("utils", "dataset", "imported.labelprop")
+    sys.modules["ruptures"].Pelt = _FixedPelt
+    spec = importlib.util.spec_from_file_location("ref_test_all", REF_SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_reference(dataset_id, rg, seg, unc, weights_path, out_dir):
+    import torch
+
+    ref = _load_ref_script()
+    dataset_mod = sys.modules["dataset"]
+    seg_t = torch.tensor(seg)
+    unc_t = torch.tensor(unc)
+    rg_path = os.path.join(out_dir, "rg_ref.pt")
+    torch.save(torch.tensor(rg), rg_path)
+
+    def fake_create_dataset(id, length, dim, overlap, full, flip=False):
+        assert id == dataset_id and full and not flip
+        return dataset_mod.RGDataset(
+            filepath=rg_path, length=length, dim=dim, overlap=list(overlap)
+        )
+
+    def fake_get_reference(id, h, w, flip=False, **kw):
+        assert not flip
+        if id == 2:
+            return NCLS[0], unc_t.clone()
+        assert id == dataset_id
+        return NCLS[dataset_id], seg_t.clone()
+
+    captured = {}
+
+    def cap_report(gt, pred, **kw):
+        return "report-skipped"
+
+    def cap_confusion(gt, pred, **kw):
+        captured["gt"] = np.asarray(gt)
+        captured["pred"] = np.asarray(pred)
+        return np.zeros((1, 1))
+
+    ref.create_dataset = fake_create_dataset
+    ref.get_reference = fake_get_reference
+    ref.plot = lambda *a, **kw: None
+    ref.classification_report = cap_report
+    ref.confusion_matrix = cap_confusion
+
+    args = types.SimpleNamespace(
+        model=0, dataset=dataset_id, patch_size=PATCH, seq_length=T,
+        overlap=list(OVERLAP), cxt_size=CFG[0], radius=CFG[1], temp=CFG[2],
+        knn=CFG[3], model_path=weights_path,
+        output_folder=out_dir + os.sep, pos_embed=False, remove_unc=True,
+        flip=False, use_last=True, dataset_full=True, correction=True,
+    )
+    with cuda_neutralized():
+        ref.main(args)
+    pm = torch.load(
+        os.path.join(out_dir, "predicted_map.pt"), map_location="cpu",
+        weights_only=True,
+    ).numpy()
+    return captured["gt"], captured["pred"], pm
+
+
+def _load_our_script():
+    scripts = os.path.join(REPO, "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    spec = importlib.util.spec_from_file_location(
+        "test_all_cli", os.path.join(scripts, "test_all.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run_ours(dataset_id, rg, seg, unc, weights_path, out_dir, monkeypatch,
+              batched, correction=True, use_last=True):
+    import radar_sounder_crw_tpu.infer.propagate as prop_mod
+    from radar_sounder_crw_tpu import data as data_pkg
+    from radar_sounder_crw_tpu import ops as ops_pkg
+    from radar_sounder_crw_tpu.data import RGWindows
+
+    mod = _load_our_script()
+
+    def fake_create_dataset(id, length, dim, overlap, full, flip=False):
+        assert id == dataset_id and full and not flip
+        return RGWindows(rg, length=length, dim=tuple(dim), overlap=tuple(overlap))
+
+    def fake_get_reference(id, h, w, flip=False, **kw):
+        assert not flip
+        if id == 2:
+            return NCLS[0], unc.copy()
+        assert id == dataset_id
+        return NCLS[dataset_id], seg.copy()
+
+    captured = {}
+    real_confusion = ops_pkg.confusion_matrix
+
+    def cap_confusion(gt, pred, n):
+        captured["gt"] = np.asarray(gt)
+        captured["pred"] = np.asarray(pred)
+        return real_confusion(gt, pred, n)
+
+    monkeypatch.setattr(data_pkg, "create_dataset", fake_create_dataset)
+    monkeypatch.setattr(data_pkg, "get_reference", fake_get_reference)
+    monkeypatch.setattr(ops_pkg, "confusion_matrix", cap_confusion)
+    monkeypatch.setattr(
+        prop_mod, "detect_change_point", lambda sig, pen=5.0: PINNED_CHANGE
+    )
+
+    argv = [
+        "--dataset", str(dataset_id), "--model", "0",
+        "--seq_length", str(T),
+        "--patch_size", str(PATCH[0]), str(PATCH[1]),
+        "--overlap", str(OVERLAP[0]), str(OVERLAP[1]),
+        "-c", str(CFG[0]), "-t", str(CFG[2]), "-k", str(CFG[3]),
+        "--no_plots", "--xent_quirk",
+        "--model_path", weights_path,
+        "--output_folder", out_dir,
+    ] + (["--batched"] if batched else []) \
+      + (["--correction"] if correction else []) \
+      + (["--use_last"] if use_last else [])
+    args = mod.get_args_parser().parse_args(argv)
+    args.radius = CFG[1]  # 0.5 (the CLI flag is int-typed like the reference)
+    mod.main(args)
+    pm = np.load(os.path.join(out_dir, "predicted_map.npy"))
+    return captured["gt"], captured["pred"], pm
+
+
+def _shared_weights(tmp_path):
+    import torch
+
+    utils = import_reference("utils")
+    torch.manual_seed(11)
+    encoder = utils.create_model(0, False)  # CNN: no BN-mode ambiguity
+    weights_path = str(tmp_path / "enc.pt")
+    torch.save(encoder.state_dict(), weights_path)
+    return weights_path
+
+
+@pytest.mark.parametrize("dataset_id", [0, 1, 3])
+def test_full_test_all_flow_bitmatch(dataset_id, tmp_path, monkeypatch):
+    weights_path = _shared_weights(tmp_path)
+    rg, seg, unc = _fixture(dataset_id)
+
+    ref_dir = str(tmp_path / "ref")
+    our_dir = str(tmp_path / "ours")
+    os.makedirs(ref_dir)
+    os.makedirs(our_dir)
+
+    gt_ref, pred_ref, map_ref = _run_reference(
+        dataset_id, rg, seg, unc, weights_path, ref_dir
+    )
+    gt_our, pred_our, map_our = _run_ours(
+        dataset_id, rg, seg, unc, weights_path, our_dir, monkeypatch,
+        batched=True,
+    )
+
+    # the forward+correction predicted-map artifact (pre-reverse)
+    np.testing.assert_array_equal(
+        map_our.astype(np.int32), map_ref.astype(np.int32)
+    )
+    # the exact report inputs after reverse merge + uncertain-class removal
+    np.testing.assert_array_equal(gt_our, gt_ref)
+    np.testing.assert_array_equal(
+        pred_our.astype(np.int32), pred_ref.astype(np.int32)
+    )
+    # identical inputs => identical confusion matrices; assert explicitly
+    # through one consistent implementation
+    from radar_sounder_crw_tpu.ops import confusion_matrix
+
+    n = max(NCLS[dataset_id], int(gt_ref.max()) + 1, int(pred_ref.max()) + 1)
+    np.testing.assert_array_equal(
+        confusion_matrix(gt_our, pred_our.astype(np.int64), n),
+        confusion_matrix(gt_ref, pred_ref.astype(np.int64), n),
+    )
+
+
+def test_fixture_exercises_correction_and_merges(tmp_path, monkeypatch):
+    """Guard against the composed test silently passing on a no-op: the
+    pinned change point must actually trigger corrections that CHANGE
+    pixels, and the reverse merge must actually change pixels."""
+    weights_path = _shared_weights(tmp_path)
+    rg, seg, unc = _fixture(0)
+    import io
+    from contextlib import redirect_stdout
+
+    def run(correction, use_last):
+        out_dir = str(
+            tmp_path / f"ours_c{int(correction)}_l{int(use_last)}"
+        )
+        os.makedirs(out_dir)
+        buf = io.StringIO()
+        mp = pytest.MonkeyPatch()
+        try:
+            with redirect_stdout(buf):
+                gt, pred, pm = _run_ours(
+                    0, rg, seg, unc, weights_path, out_dir, mp, batched=True,
+                    correction=correction, use_last=use_last,
+                )
+        finally:
+            mp.undo()
+        return gt, pred, pm, buf.getvalue()
+
+    _, pred_full, map_full, out_full = run(True, True)
+    assert "Correction batch" in out_full, out_full[-2000:]
+    # correction changed the forward map...
+    _, _, map_plain, _ = run(False, False)
+    assert not np.array_equal(map_full, map_plain)
+    # ...and the reverse merge changed the final prediction (dense speckle
+    # => different seeds => different maps). unc is trimmed to the scored
+    # width like the script does (scripts/test_all.py unc_seg trim).
+    mask = (unc[:, : map_full.shape[1]] != 4).ravel()
+    fwd_flat = map_full.astype(np.int64).ravel()
+    assert not np.array_equal(pred_full, fwd_flat[mask])
