@@ -34,6 +34,10 @@ def get_args_parser():
     parser.add_argument("--input_folder", default="./resources/input/")
     parser.add_argument("--output_folder", default="./resources/output/")
     parser.add_argument("--allow_untrained", action="store_true")
+    parser.add_argument("--bn_train_mode", action="store_true",
+                        help="BatchNorm batch stats at inference (the reference's de-facto behavior)")
+    parser.add_argument("--xent_quirk", action="store_true",
+                        help="reproduce the reference's channel-shifted xent metric")
     parser.add_argument("--batched", action="store_true",
                         help="propagate all radargrams in one sharded device "
                         "program per pass (corrections bucketed by tail "
@@ -75,7 +79,8 @@ def main(args):
     pipe = PropagationPipeline(
         model, variables,
         LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn),
-        nclasses=nclasses,
+        nclasses=nclasses, bn_train_mode=args.bn_train_mode,
+        xent_quirk=args.xent_quirk,
     )
     ensure_dirs(args.output_folder)
 
