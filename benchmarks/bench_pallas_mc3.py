@@ -17,7 +17,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from radar_sounder_crw_tpu.ops.labelprop import LabelPropConfig, propagate_labels
-from radar_sounder_crw_tpu.ops.labelprop_pallas import plan_blocks, plan_resident
+from radar_sounder_crw_tpu.ops.labelprop_pallas import (
+    plan_blocks,
+    plan_resident,
+    plan_seq,
+)
 
 
 def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
@@ -40,6 +44,10 @@ def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
     # the knn extraction passes over the full un-tiled affinity cost far more
     # than the per-frame dispatch overhead the single launch eliminates.
     kernels = ["xla", "pallas"]
+    # whole-sequence resident v2 (r4): per-frame single-block pipeline body,
+    # ring in VMEM scratch, one launch per radargram
+    if plan_seq(ctx + 1, N, C, M, min(knn, (ctx + 1) * N)) is not None:
+        kernels.append("pallas_seq")
     if resident and os.environ.get("RSCRW_BENCH_RESIDENT"):
         kernels.append("pallas_resident")
     # MEASUREMENT ORDER MATTERS through the remote-execution relay: one
@@ -63,7 +71,12 @@ def run(name, T, N, C, M, ctx, radius, temp, knn, iters=5):
         out[kernel] = [soft, pred, dt]
 
     if os.environ.get("RSCRW_BENCH_SLOPE"):
-        _slope(name, T, N, emb, seed_d, cfg, out["pallas"][2], iters)
+        _slope(name, T, N, emb, seed_d, cfg, out["pallas"][2], iters, "pallas")
+        if "pallas_seq" in kernels:
+            _slope(
+                name, T, N, emb, seed_d, cfg, out["pallas_seq"][2], iters,
+                "pallas_seq",
+            )
 
     return name, kernels, out
 
@@ -89,7 +102,7 @@ def validate(name, kernels, out):
     return out
 
 
-def _slope(name, T, N, emb, seed_d, cfg, t_base, iters):
+def _slope(name, T, N, emb, seed_d, cfg, t_base, iters, kernel="pallas"):
     # per-frame DEVICE slope: time the fused kernel at 2T frames too and
     # difference out every fixed per-call cost (the ~23-28 ms tunnel
     # round-trip of the scalar fetch dominates the wall numbers above at
@@ -97,16 +110,16 @@ def _slope(name, T, N, emb, seed_d, cfg, t_base, iters):
     emb2 = np.concatenate([emb, emb], axis=0)
     emb2 /= np.linalg.norm(emb2, axis=-1, keepdims=True)
     emb2_d = jnp.asarray(emb2)
-    soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
+    soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, kernel)
     float(jax.device_get(soft[-1, 0, 0]))  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, "pallas")
+        soft, _ = propagate_labels(emb2_d, seed_d, cfg, None, kernel)
         _ = float(jax.device_get(soft[-1, 0, 0]))
     dt2 = (time.perf_counter() - t0) / iters
     slope = (dt2 - t_base) / T
     print(
-        f"[{name}] pallas device slope: {slope * 1e6:.0f} us/frame "
+        f"[{name}] {kernel} device slope: {slope * 1e6:.0f} us/frame "
         f"({slope * T * 1e3:.1f} ms / {T} frames device; "
         f"fixed per-call {max(t_base - slope * T, 0) * 1e3:.1f} ms)",
         flush=True,

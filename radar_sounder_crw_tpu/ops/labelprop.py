@@ -384,6 +384,7 @@ def propagate_labels(
         xs = emb[1:]
     elif kernel in (
         "pallas", "pallas_interpret", "pallas_static",
+        "pallas_seq", "pallas_seq_interpret",
         "pallas_resident", "pallas_resident_interpret",
     ):
         if query_block is not None:
@@ -395,10 +396,28 @@ def propagate_labels(
             _round_up,
             pad_mask,
             plan_resident,
+            plan_seq,
             propagate_all_pallas,
+            propagate_all_pallas_v2,
         )
 
         interp = kernel.endswith("interpret")
+        if kernel.startswith("pallas_seq"):
+            # whole-sequence resident kernel v2: one launch per radargram,
+            # the FINAL r3 single-block pipeline as the per-frame body (see
+            # labelprop_pallas._prop_seq_v2_kernel). Requires the ring +
+            # affinity working set to fit one launch's VMEM; bit-equal to
+            # the per-frame kernels and the XLA path (tested).
+            if plan_seq(K, N, C, M, knn) is None and not interp:
+                raise ValueError(
+                    f"seq kernel working set exceeds VMEM for "
+                    f"K={K}, N={N}, C={C}, M={M}"
+                )
+            soft = propagate_all_pallas_v2(
+                emb, seed_labels, mask, cfg.temperature, knn, long_mem, cxt,
+                interpret=interp,
+            )
+            return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
         if kernel.startswith("pallas_resident"):
             # whole-sequence single-launch kernel — see the kernel-arg doc
             # above: a recorded negative result, selectable explicitly only

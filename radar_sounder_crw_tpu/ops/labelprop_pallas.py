@@ -281,6 +281,169 @@ def plan_blocks(
     return max(1, min(K, (budget_bytes - fixed) // per_slot))
 
 
+def _single_block_pipeline(
+    aff, bvals, bidx, gvals, gidx, wvals,
+    feats_ref, q, mask, bias_at, labels_ref, temp,
+    ns,  # traced valid-slot count, ALREADY clipped to [min_slots, kb]
+    *, knn: int, n_rows: int, n_lanes: int, kb: int, n_real: int, ch: int,
+):
+    """One single-block dynamic-valid-prefix propagation frame, shared by
+    the per-frame step kernel and the whole-sequence resident kernel (v2):
+    chunked in-place affinity -> grouped read-only top-k extraction (static
+    full sweep once the prefix saturates) -> softmax denominator -> in-place
+    W transform -> labels matmul. Reads context feats/labels through REFS
+    (input blocks or resident VMEM scratch — same indexing interface), takes
+    the frame-varying query/bias as VALUES, and returns the (M_pad, n_lanes)
+    prediction value (padded query columns zeroed when n_real < n_lanes).
+
+    Semantics and bit-parity contracts are those of _prop_step_kernel's
+    single-block dynamic path (see the module docstring); this helper IS
+    that path, hoisted so the resident kernel cannot drift from it.
+
+    bias_at(start_row, n) -> the (n, 1) validity-bias column for candidate
+    rows [start_row, start_row + n) — a ref load for the per-frame kernel,
+    an arithmetic construction for the resident kernel (Mosaic has no
+    dynamic_slice on VALUES, so the bias cannot ride as one big value)."""
+    kbn = kb * n_rows
+
+    def mchunk(c, g):
+        sl = pl.ds(g * n_rows, c * n_rows)
+        v = jnp.dot(
+            feats_ref[sl, :],
+            q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(c, n_rows, n_lanes) + mask[None, :, :]
+        b = bias_at(g * n_rows, c * n_rows)
+        aff[sl, :] = (v.reshape(c * n_rows, n_lanes) + b) / temp
+
+    ce = kb // _find_groups_for(kb)  # slots per extraction group
+    ns_cover = ((ns + ce - 1) // ce) * ce
+    nch = (ns_cover + ch - 1) // ch
+    # valid-prefix affinity chunks + zero-filled W tail (the static labels
+    # matmul below reads the full buffer as weights)
+    jax.lax.fori_loop(0, nch, lambda i, _: (mchunk(ch, i * ch), 0)[1], 0)
+    zeros_chunk = jnp.zeros((ch * n_rows, n_lanes), jnp.float32)
+
+    def zchunk(i, _):
+        aff[pl.ds(i * ch * n_rows, ch * n_rows), :] = zeros_chunk
+        return 0
+
+    jax.lax.fori_loop(nch, kb // ch, zchunk, 0)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (kbn, n_lanes), 0)
+
+    def _find_static():
+        def body(k, carry):
+            vl, il = carry
+            a = aff[:]
+            elig = (a < vl) | ((a == vl) & (row_ids > il))
+            av = jnp.where(elig, a, NEG_SELECTED)
+            m = jnp.max(av, axis=0, keepdims=True)
+            iln = jnp.min(
+                jnp.where(av == m, row_ids, kbn), axis=0, keepdims=True
+            )
+            bvals[pl.ds(k, 1), :] = m
+            bidx[pl.ds(k, 1), :] = iln
+            return m, iln
+
+        jax.lax.fori_loop(
+            0, knn, body,
+            (
+                jnp.full((1, n_lanes), jnp.inf, jnp.float32),
+                jnp.full((1, n_lanes), -1, jnp.int32),
+            ),
+        )
+
+    def _find_bounded():
+        cerows = ce * n_rows
+        ng = (ns + ce - 1) // ce
+        base_iota = jax.lax.broadcasted_iota(jnp.int32, (cerows, n_lanes), 0)
+
+        def pass_body(k, carry):
+            vl, il = carry
+
+            def group_body(c, run):
+                m_run, i_run = run
+                a_c = aff[pl.ds(c * cerows, cerows), :]
+                grow = base_iota + c * cerows
+                elig = (a_c < vl) | ((a_c == vl) & (grow > il))
+                av = jnp.where(elig, a_c, NEG_SELECTED)
+                mc = jnp.max(av, axis=0, keepdims=True)
+                ic = jnp.min(
+                    jnp.where(av == mc, grow, kbn), axis=0, keepdims=True
+                )
+                better = (mc > m_run) | ((mc == m_run) & (ic < i_run))
+                return (
+                    jnp.where(better, mc, m_run),
+                    jnp.where(better, ic, i_run),
+                )
+
+            m, iln = jax.lax.fori_loop(
+                0, ng, group_body,
+                (
+                    jnp.full((1, n_lanes), NEG_SELECTED, jnp.float32),
+                    jnp.full((1, n_lanes), kbn, jnp.int32),
+                ),
+            )
+            bvals[pl.ds(k, 1), :] = m
+            bidx[pl.ds(k, 1), :] = iln
+            return m, iln
+
+        jax.lax.fori_loop(
+            0, knn, pass_body,
+            (
+                jnp.full((1, n_lanes), jnp.inf, jnp.float32),
+                jnp.full((1, n_lanes), -1, jnp.int32),
+            ),
+        )
+
+    # grouped passes pay per-group loop + merge overhead (~25% at saturated
+    # context) — switch to the static full sweep once the prefix covers all
+    @pl.when(ns_cover < kb)
+    def _bounded():
+        _find_bounded()
+
+    @pl.when(ns_cover >= kb)
+    def _full():
+        _find_static()
+
+    gvals[:] = bvals[:]
+    gidx[:] = bidx[:]
+    e = jnp.exp(gvals[0:knn, :] - gvals[0:1, :])
+    wvals[0:1, :] = jnp.sum(e, axis=0, keepdims=True)
+
+    v1 = gvals[0:1, :]
+    vk = gvals[knn - 1 : knn, :]
+    ik = gidx[knn - 1 : knn, :]
+
+    def wchunk(c, g):
+        sl = pl.ds(g * n_rows, c * n_rows)
+        a_c = aff[sl, :]
+        grow_c = (
+            jax.lax.broadcasted_iota(jnp.int32, (c * n_rows, n_lanes), 0)
+            + g * n_rows
+        )
+        sel_c = (a_c > vk) | ((a_c == vk) & (grow_c <= ik))
+        aff[sl, :] = jnp.where(
+            sel_c, jnp.exp(a_c - v1) / wvals[0:1, :], 0.0
+        )
+
+    jax.lax.fori_loop(0, nch, lambda i, _: (wchunk(ch, i * ch), 0)[1], 0)
+
+    contrib = jax.lax.dot_general(
+        labels_ref[:],
+        aff[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (M_pad, n_lanes)
+    if n_real < n_lanes:
+        cols = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
+        contrib = jnp.where(cols < n_real, contrib, 0.0)
+    return contrib
+
+
 def _prop_step_kernel(
     temp_ref,  # (1, 1) SMEM: temperature
     nslots_ref,  # (1, 1) SMEM int32: valid slot-prefix count (dynamic path;
@@ -398,73 +561,13 @@ def _prop_step_kernel(
             bvals[k, :] = m[0]
             bidx[k, :] = il[0] + blk * kbn
 
-    def _find_bounded(ns):
-        """Dynamic valid-prefix extraction (single-block in-place path):
-        every pass walks only the extraction groups that hold this frame's
-        valid slots — at frame t only L + min(t, cxt) ring slots carry
-        candidates (ops/labelprop.py:_slot_validity); the rest are
-        NEG_INVALID-biased, i.e. weight exactly 0, so skipping them is
-        bit-exact (their exp(a - v1) underflows to 0.0f either way). Group
-        winners lex-merge (value desc, global row asc) into the running
-        winner, preserving lax.top_k tie order.
-
-        Groups are COARSE — kb/FIND_GROUPS slots, not the SLOT_CHUNK-sized
-        affinity chunks: the knn passes are the dominant per-frame cost and
-        fine chunks pay knn*nch loop iterations plus a per-chunk iota
-        rebuild (measured: +~100 us/frame at full MC3 context vs the static
-        full-array passes). The base iota is hoisted out of both loops."""
-        ce = kb // _find_groups_for(kb)  # slots per group (divisor-clamped)
-        cerows = ce * n_rows
-        ng = (ns + ce - 1) // ce  # valid groups (dynamic)
-        base_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (cerows, n_lanes), 0
-        )
-
-        def pass_body(k, carry):
-            vl, il = carry
-
-            def group_body(c, run):
-                m_run, i_run = run
-                a_c = aff[pl.ds(c * cerows, cerows), :]
-                grow = base_iota + c * cerows
-                elig = (a_c < vl) | ((a_c == vl) & (grow > il))
-                av = jnp.where(elig, a_c, NEG_SELECTED)
-                mc = jnp.max(av, axis=0, keepdims=True)
-                ic = jnp.min(
-                    jnp.where(av == mc, grow, kbn), axis=0, keepdims=True
-                )
-                better = (mc > m_run) | ((mc == m_run) & (ic < i_run))
-                return (
-                    jnp.where(better, mc, m_run),
-                    jnp.where(better, ic, i_run),
-                )
-
-            m, iln = jax.lax.fori_loop(
-                0, ng, group_body,
-                (
-                    jnp.full((1, n_lanes), NEG_SELECTED, jnp.float32),
-                    jnp.full((1, n_lanes), kbn, jnp.int32),
-                ),
-            )
-            bvals[pl.ds(k, 1), :] = m
-            bidx[pl.ds(k, 1), :] = iln  # single-block: blk == 0
-            return m, iln
-
-        jax.lax.fori_loop(
-            0, knn, pass_body,
-            (
-                jnp.full((1, n_lanes), jnp.inf, jnp.float32),
-                jnp.full((1, n_lanes), -1, jnp.int32),
-            ),
-        )
-
     def _denom():
         # softmax normalizer over the global winners; same max-subtraction
         # and ascending-k sum order as jax.nn.softmax on the XLA path
         e = jnp.exp(gvals[0:knn, :] - gvals[0:1, :])
         wvals[0:1, :] = jnp.sum(e, axis=0, keepdims=True)
 
-    def _apply(get_a, nch_dyn=None):
+    def _apply(get_a):
         # ONE-pass weight reconstruction: the selected set is exactly the
         # rows lexicographically >= the k-th global winner (v_k, i_k); each
         # winner's weight exp(a - v_1)/denom is bit-equal to softmax over
@@ -495,18 +598,10 @@ def _prop_step_kernel(
                     sel_c, jnp.exp(a_c - v1) / wvals[0:1, :], 0.0
                 )
 
-            if nch_dyn is None:
-                # CH | kb by the divisor clamp: whole chunks cover the block
-                jax.lax.fori_loop(
-                    0, kb // CH, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
-                )
-            else:
-                # valid-prefix W transform; the tail chunks were zero-filled
-                # at affinity time, so the full-width labels matmul below
-                # adds exactly 0.0 for every skipped row
-                jax.lax.fori_loop(
-                    0, nch_dyn, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
-                )
+            # CH | kb by the divisor clamp: whole chunks cover the block
+            jax.lax.fori_loop(
+                0, kb // CH, lambda i, _: (wchunk(CH, i * CH), 0)[1], 0
+            )
             w = aff[:]
         else:
             grow = row_ids + blk * kbn
@@ -551,7 +646,7 @@ def _prop_step_kernel(
     # CH | kb (it walks [nch_dyn, kb//CH) whole chunks).
     CH = _find_divisor(kb, int(os.environ.get("RSCRW_CH", "8")))
 
-    def _inplace_affinity(nch_dyn=None):
+    def _inplace_affinity():
         # dot + mask + bias + temperature, computed and stored chunk-by-
         # chunk through a fori_loop. Chunking the DOT matters as much as
         # the elementwise ops: the HIGHEST-precision (6-pass bf16) matmul
@@ -571,25 +666,10 @@ def _prop_step_kernel(
                 v.reshape(c * n_rows, n_lanes) + bias_ref[sl, :]
             ) / temp_ref[0, 0]
 
-        if nch_dyn is None:
-            # CH | kb by the divisor clamp: whole chunks cover the block
-            jax.lax.fori_loop(
-                0, kb // CH, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
-            )
-            return
-        # dynamic valid-prefix: compute the valid chunks, zero-fill the W
-        # tail (scratch persistence across kernel calls is not guaranteed,
-        # and the static labels matmul reads the full buffer as weights)
+        # CH | kb by the divisor clamp: whole chunks cover the block
         jax.lax.fori_loop(
-            0, nch_dyn, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
+            0, kb // CH, lambda i, _: (mchunk(CH, i * CH), 0)[1], 0
         )
-        zeros_chunk = jnp.zeros((CH * n_rows, n_lanes), jnp.float32)
-
-        def zchunk(i, _):
-            aff[pl.ds(i * CH * n_rows, CH * n_rows), :] = zeros_chunk
-            return 0
-
-        jax.lax.fori_loop(nch_dyn, kb // CH, zchunk, 0)
 
     if single:
         # one grid step: the affinity is computed ONCE and reused through
@@ -598,40 +678,23 @@ def _prop_step_kernel(
         if dynamic:
             # valid-prefix bounding (requires the in-place scratch and a
             # SLOT_CHUNK-multiple kb): affinity, extraction and the W
-            # transform walk only the slots valid at this frame. min_slots
+            # transform walk only the slots valid at this frame, through the
+            # shared single-block pipeline (_single_block_pipeline — also
+            # the body of the whole-sequence resident kernel v2). min_slots
             # keeps >= knn candidate rows in range so the k-th winner
             # threshold stays finite (the all-rows-selected failure mode of
             # vk == -inf); results are bit-equal to the static kernel —
             # skipped candidates have selection weight exactly 0.0.
             min_slots = -(-knn // n_rows)
             ns = jnp.clip(nslots_ref[0, 0], min_slots, kb)
-            # the affinity/W chunk loops must cover every slot the coarse
-            # extraction groups read: round the covered prefix up to the
-            # extraction-group extent first, then to affinity chunks
-            ce = kb // _find_groups_for(kb)
-            ns_cover = ((ns + ce - 1) // ce) * ce
-            nch = (ns_cover + CH - 1) // CH
-            _inplace_affinity(nch)
-            get_a = lambda: aff[:]  # noqa: E731
-
-            # extraction: grouped passes pay per-group loop + lex-merge
-            # overhead — measured ~25% over the static full-array passes at
-            # saturated context — so once the valid prefix covers every
-            # slot (t >= cxt: the entire back half of a T > cxt run), run
-            # the static extraction instead. Winners are identical: the
-            # grouped merge reproduces global (value desc, row asc) order.
-            @pl.when(ns_cover < kb)
-            def _bounded():
-                _find_bounded(ns)
-
-            @pl.when(ns_cover >= kb)
-            def _full():
-                _find(get_a)
-
-            gvals[:] = bvals[:]
-            gidx[:] = bidx[:]
-            _denom()
-            _apply(get_a, nch)
+            pred_ref[:] = _single_block_pipeline(
+                aff, bvals, bidx, gvals, gidx, wvals,
+                feats_ref, query_ref[:], mask_ref[:],
+                lambda s, r: bias_ref[pl.ds(s, r), :],
+                labels_ref, temp_ref[0, 0], ns,
+                knn=knn, n_rows=n_rows, n_lanes=n_lanes, kb=kb,
+                n_real=n_real, ch=CH,
+            )
             return
         if inplace:
             _inplace_affinity()
@@ -852,6 +915,207 @@ def prop_step_pallas(
         nslots=None if nslots is None else jnp.asarray(nslots, jnp.int32),
     )
     return pred[:M, :N].T  # (N, M)
+
+
+def _prop_seq_v2_kernel(
+    temp_ref,  # (1, 1) SMEM: temperature
+    embT_ref,  # (1, C_pad, N_lanes) frame t features, transposed (query)
+    embP_ref,  # (1, N_rows, C_pad) frame t features (ring-push layout)
+    emb0_ref,  # (N_rows, C_pad) frame 0 features (ring init)
+    seedT_ref,  # (M_pad, N_rows) seed labels, transposed
+    mask_ref,  # (N_rows, N_lanes) radius mask (pad_mask layout)
+    soft_ref,  # out block: (1, M_pad, N_lanes) this frame's soft labels
+    featsS,  # scratch (kb*N_rows, C_pad): feature ring, resident all frames
+    labS,  # scratch (M_pad, kb*N_rows): label ring
+    aff,  # scratch (kb*N_rows, N_lanes): in-place affinity -> W buffer
+    bvals, bidx, gvals, gidx, wvals,  # top-k state (as in the step kernel)
+    *,
+    knn: int,
+    n_rows: int,
+    n_lanes: int,
+    kb: int,
+    K: int,
+    cxt: int,
+    long_mem: tuple,
+    n_real: int,
+):
+    """Whole-sequence resident propagation, v2 (VERDICT r3 #3): ONE kernel
+    launch per radargram, grid over frames, ring buffer in VMEM scratch —
+    but the per-frame body is the FINAL r3 single-block pipeline
+    (_single_block_pipeline: rect row/lane layout, chunked in-place
+    affinity, grouped read-only valid-prefix extraction with the
+    static-sweep switch, one-pass W reconstruction), unlike the round-2-era
+    `_prop_all_kernel` (kept below as the recorded negative result), whose
+    full-affinity NEG_SELECTED extraction was what made residency lose.
+    Eliminates the per-frame kernel dispatch AND the XLA-side ring
+    dynamic_update_slices of the scan path (_prop_step_fused); the ring
+    pushes become VMEM scratch writes.
+
+    Bit-parity: the pipeline body is shared with the per-frame kernel; the
+    slot-validity bias is computed in-kernel from the frame index with
+    exactly ops/labelprop.py:_slot_validity's policy (NEG_INVALID on
+    not-yet-valid real slots, NEG_PAD on kb-padding slots — matching the
+    scan path's precomputed bias columns bit-for-bit)."""
+    i = pl.program_id(0)
+    t = i + 1
+    L = len(long_mem)
+    kbn = kb * n_rows
+
+    @pl.when(i == 0)
+    def _init():
+        # zero rings: garbage feats would make invalid-slot affinities
+        # non-finite before the bias add; garbage labels would turn the
+        # exact-0.0 weights of skipped rows into NaN contributions
+        featsS[:] = jnp.zeros((kbn, featsS.shape[1]), jnp.float32)
+        labS[:] = jnp.zeros((labS.shape[0], kbn), jnp.float32)
+        featsS[L * n_rows : (L + 1) * n_rows, :] = emb0_ref[:]
+        labS[:, L * n_rows : (L + 1) * n_rows] = seedT_ref[:]
+        for j, fj in enumerate(long_mem):
+            if fj == 0:
+                featsS[j * n_rows : (j + 1) * n_rows, :] = emb0_ref[:]
+                labS[:, j * n_rows : (j + 1) * n_rows] = seedT_ref[:]
+
+    # per-candidate-row validity bias (ops/labelprop.py:_slot_validity):
+    # ring slots valid once written (r < t suffices: r < cxt by layout),
+    # pins valid once their frame left the recent window; kb-padding slots
+    # (>= K) carry NEG_PAD exactly like the scan path's sb_all. Constructed
+    # PER CHUNK from an iota + the chunk's start row (Mosaic cannot
+    # dynamic_slice a kernel-wide value).
+    def bias_at(start_row, n):
+        slot_col = (
+            jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) + start_row
+        ) // n_rows
+        valid = (slot_col >= L) & (slot_col < K) & (slot_col - L < t)
+        for j, fj in enumerate(long_mem):
+            valid = valid | ((slot_col == j) & (t - fj > cxt))
+        return jnp.where(
+            valid, 0.0, jnp.where(slot_col < K, NEG_INVALID_F, NEG_PAD)
+        ).astype(jnp.float32)
+
+    min_slots = -(-knn // n_rows)
+    ns = jnp.clip(L + jnp.minimum(t, cxt), min_slots, kb)
+    ch = _find_divisor(kb, int(os.environ.get("RSCRW_CH", "8")))
+    pred = _single_block_pipeline(
+        aff, bvals, bidx, gvals, gidx, wvals,
+        featsS, embT_ref[0], mask_ref[:], bias_at, labS, temp_ref[0, 0], ns,
+        knn=knn, n_rows=n_rows, n_lanes=n_lanes, kb=kb, n_real=n_real, ch=ch,
+    )
+    soft_ref[0] = pred
+
+    # push frame t into the ring (same policy as labelprop._push_frame)
+    slot = L + jnp.mod(t, cxt)
+    pred_store = pred[:, :n_rows]
+    featsS[pl.ds(slot * n_rows, n_rows), :] = embP_ref[0]
+    labS[:, pl.ds(slot * n_rows, n_rows)] = pred_store
+    for j, fj in enumerate(long_mem):
+        if fj == 0:
+            continue  # pinned at init; the grid starts at t = 1
+        @pl.when(t == fj)
+        def _pin(j=j):
+            featsS[pl.ds(j * n_rows, n_rows), :] = embP_ref[0]
+            labS[:, pl.ds(j * n_rows, n_rows)] = pred_store
+
+
+def plan_seq(K: int, N: int, C: int, M: int, knn: int) -> int | None:
+    """kb (slot-padded ring size) for the whole-sequence v2 kernel if its
+    working set fits the per-launch VMEM limit; None -> fall back to the
+    per-frame scan. Working set: resident rings + the in-place affinity
+    scratch + streamed per-frame blocks (double-buffered) + the pipeline's
+    chunk temporaries (~2 chunk-sized affinity slices)."""
+    n_rows = _round_up(N, 8)
+    n_lanes = _round_up(N, 128)
+    c_pad = _round_up(C, 128)
+    m_pad = _round_up(M, 8)
+    knn_pad = _round_up(max(knn, 1), 8)
+    kb = _round_up(K, SLOT_CHUNK)
+    kbn = kb * n_rows
+    scratch = 4 * (
+        kbn * c_pad  # featsS
+        + m_pad * kbn  # labS
+        + kbn * n_lanes  # aff
+        + 5 * knn_pad * n_lanes
+    )
+    blocks = 4 * (
+        2 * (c_pad * n_lanes + n_rows * c_pad)  # embT + embP, double-buffered
+        + n_rows * c_pad  # emb0
+        + m_pad * n_rows  # seedT
+        + n_rows * n_lanes  # mask
+        + 2 * m_pad * n_lanes  # out block
+    )
+    temporaries = 4 * 2 * SLOT_CHUNK * n_rows * n_lanes
+    if scratch + blocks + temporaries <= int(STEP_VMEM_LIMIT * 0.92):
+        return kb
+    return None
+
+
+def propagate_all_pallas_v2(
+    emb, seed_labels, radius_mask_nn, temp, knn: int, long_mem: tuple,
+    cxt: int, interpret: bool = False,
+):
+    """Whole-sequence resident propagation v2 (see _prop_seq_v2_kernel).
+
+    emb (T, N, C) L2-normalized; seed_labels (N, M); radius_mask_nn (N, N).
+    Returns soft (T, N, M) float32 (frame 0 = seed as given), bit-equal to
+    the per-frame kernel scan and the XLA path.
+    """
+    T, N, C = emb.shape
+    M = seed_labels.shape[-1]
+    if T == 1:
+        return seed_labels.astype(jnp.float32)[None]
+    L = len(long_mem)
+    K = L + cxt
+    kb = _round_up(K, SLOT_CHUNK)
+    n_rows = _round_up(N, 8)
+    n_lanes = _round_up(N, 128)
+    c_pad = _round_up(C, 128)
+    m_pad = _round_up(M, 8)
+    knn_pad = _round_up(knn, 8)
+
+    emb = emb.astype(jnp.float32)
+    embT = jnp.zeros((T - 1, c_pad, n_lanes), jnp.float32)
+    embT = embT.at[:, :C, :N].set(jnp.transpose(emb[1:], (0, 2, 1)))
+    embP = jnp.zeros((T - 1, n_rows, c_pad), jnp.float32).at[:, :N, :C].set(emb[1:])
+    emb0 = jnp.zeros((n_rows, c_pad), jnp.float32).at[:N, :C].set(emb[0])
+    seedT = jnp.zeros((m_pad, n_rows), jnp.float32)
+    seedT = seedT.at[:M, :N].set(seed_labels.astype(jnp.float32).T)
+    mask = pad_mask(radius_mask_nn, N)
+    temp_arr = jnp.full((1, 1), temp, jnp.float32)
+
+    soft = pl.pallas_call(
+        functools.partial(
+            _prop_seq_v2_kernel, knn=knn, n_rows=n_rows, n_lanes=n_lanes,
+            kb=kb, K=K, cxt=cxt, long_mem=long_mem, n_real=N,
+        ),
+        grid=(T - 1,),
+        out_shape=jax.ShapeDtypeStruct((T - 1, m_pad, n_lanes), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
+            pl.BlockSpec((1, c_pad, n_lanes), lambda i: (i, 0, 0)),  # embT
+            pl.BlockSpec((1, n_rows, c_pad), lambda i: (i, 0, 0)),  # embP
+            pl.BlockSpec((n_rows, c_pad), lambda i: (0, 0)),  # emb0
+            pl.BlockSpec((m_pad, n_rows), lambda i: (0, 0)),  # seedT
+            pl.BlockSpec((n_rows, n_lanes), lambda i: (0, 0)),  # mask
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, n_lanes), lambda i: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((kb * n_rows, c_pad), jnp.float32),  # featsS
+            pltpu.VMEM((m_pad, kb * n_rows), jnp.float32),  # labS
+            pltpu.VMEM((kb * n_rows, n_lanes), jnp.float32),  # aff
+            pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=STEP_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(temp_arr, embT, embP, emb0, seedT, mask)
+    soft_rest = jnp.transpose(soft[:, :M, :N], (0, 2, 1))  # (T-1, N, M)
+    return jnp.concatenate(
+        [seed_labels.astype(jnp.float32)[None], soft_rest], axis=0
+    )
 
 
 def _prop_all_kernel(

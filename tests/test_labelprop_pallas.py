@@ -297,3 +297,52 @@ def test_find_divisor_clamps_to_kb_divisor():
         for want in range(1, kb + 5):
             g = _find_divisor(kb, want)
             assert kb % g == 0 and 1 <= g <= max(1, min(want, kb))
+
+
+@pytest.mark.parametrize(
+    "T,N,C,M,ctx,radius,knn,lm",
+    [
+        (9, 12, 16, 4, 5, 4, 3, (0,)),  # ring wraps (T > ctx)
+        (14, 20, 8, 5, 6, 3, 4, (0, 3)),  # multi-frame long_mem pins
+        (6, 7, 8, 3, 8, 2.5, 2, (0,)),  # prefix never saturates (T < ctx)
+        (5, 9, 8, 3, 3, 4, 30, (0,)),  # knn > real candidate count
+        (4, 190, 16, 6, 3, 60, 5, (0,)),  # MC3-like N > 128 (rows 192/lanes 256)
+    ],
+)
+def test_seq_v2_kernel_bit_equals_per_frame(T, N, C, M, ctx, radius, knn, lm):
+    """The whole-sequence resident v2 kernel shares its per-frame body with
+    the per-frame step kernel (_single_block_pipeline) — outputs must be
+    BIT-equal to the per-frame pallas scan, and match XLA to tolerance."""
+    emb, seed = make_inputs(T, N, C, M, seed=3)
+    cfg = LabelPropConfig(
+        cxt_size=ctx, radius=radius, temperature=0.07, knn=knn, long_mem=lm
+    )
+    s_seq, p_seq = propagate_labels(emb, seed, cfg, None, "pallas_seq_interpret")
+    s_pf, p_pf = propagate_labels(emb, seed, cfg, None, "pallas_interpret")
+    np.testing.assert_array_equal(np.asarray(s_seq), np.asarray(s_pf))
+    np.testing.assert_array_equal(np.asarray(p_seq), np.asarray(p_pf))
+    s_x, p_x = propagate_labels(emb, seed, cfg, None, "xla")
+    np.testing.assert_allclose(
+        np.asarray(s_seq), np.asarray(s_x), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(p_seq), np.asarray(p_x))
+
+
+def test_seq_v2_single_frame_returns_seed():
+    emb, seed = make_inputs(1, 9, 8, 3, seed=4)
+    cfg = LabelPropConfig(cxt_size=3, radius=4, temperature=0.1, knn=2)
+    soft, pred = propagate_labels(emb, seed, cfg, None, "pallas_seq_interpret")
+    np.testing.assert_array_equal(np.asarray(soft), np.asarray(seed)[None])
+    np.testing.assert_array_equal(
+        np.asarray(pred), np.asarray(seed).argmax(-1)[None]
+    )
+
+
+def test_plan_seq_decisions():
+    from radar_sounder_crw_tpu.ops.labelprop_pallas import plan_seq
+
+    # flagship MC3 geometry fits one launch on the 92 MB step limit
+    kb = plan_seq(K=101, N=190, C=128, M=6, knn=20)
+    assert kb is not None and kb % 8 == 0 and kb >= 101
+    # an absurd working set does not
+    assert plan_seq(K=2000, N=512, C=512, M=8, knn=20) is None
