@@ -1,4 +1,4 @@
-"""A/B the hand-scheduled FusedBatchNorm (models/fused_bn.py) against flax
+"""A/B BatchNorm implementations (models/fused_bn.py) against flax
 nn.BatchNorm on the benched train step (round-3 VERDICT #3: the BN statistic
 reductions are ~2.5-3 ms of the 14.6 ms step).
 
@@ -46,7 +46,10 @@ def build(fused_bn):
 def main():
     print("devices:", jax.devices(), flush=True)
     variants = {}
-    for name, flag in (("flax_bn", False), ("fused_bn", True)):
+    cases = [("flax_bn", False), ("lean_bn", "lean")]
+    if os.environ.get("RSCRW_BENCH_FUSED_BN"):
+        cases.append(("fused_bn", True))  # the recorded custom_vjp negative
+    for name, flag in cases:
         t0 = time.perf_counter()
         tr, seq, w = build(flag)
         state, loss = tr._step(tr.state, seq, w)
@@ -74,8 +77,11 @@ def main():
               f"ms/step over {BLOCKS} blocks: "
               + " ".join(f"{t:.2f}" for t in ms), flush=True)
     a = np.median(np.array(variants["flax_bn"]["times"]))
-    b = np.median(np.array(variants["fused_bn"]["times"]))
-    print(f"speedup fused vs flax: {a / b:.3f}x", flush=True)
+    for other in variants:
+        if other == "flax_bn":
+            continue
+        b = np.median(np.array(variants[other]["times"]))
+        print(f"speedup {other} vs flax: {a / b:.3f}x", flush=True)
 
 
 if __name__ == "__main__":

@@ -84,7 +84,7 @@ class ResNetEncoder(nn.Module):
     stage_sizes: tuple = (1, 1, 1, 1)
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool | None = None  # None = auto (space-to-depth conv1 on TPU)
-    fused_bn: bool | None = None  # None = flax BN (fused is a measured negative result)
+    fused_bn: bool | str | None = None  # None = flax; True/'fused' = custom_vjp (negative result); 'lean' = bf16-read stats
 
     @nn.compact
     def __call__(self, x, train: bool = True):

@@ -89,6 +89,61 @@ def _bn_train_bwd(eps: float, res, cotangents):
 _bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
 
 
+class LeanBatchNorm(nn.Module):
+    """nn.BatchNorm drop-in whose training STATISTICS read the (bf16)
+    activation directly with float32 accumulation — no pre-materialized
+    float32 copy of the activation (flax's `_compute_stats` does
+    `x = x.astype(float32)` up front and feeds that converted tensor to both
+    reductions; when XLA materializes it, the BN-stat passes move 3x f32
+    bytes instead of 2x bf16).
+
+    The round-3-VERDICT #5 experiment: unlike FusedBatchNorm above (the
+    custom_vjp loser), this variant stays PURE jnp — no autodiff boundary,
+    so XLA keeps its conv+BN fusions and derives the backward itself. The
+    per-element math is identical to flax (convert->accumulate-f32 for the
+    mean, convert->square->accumulate-f32 for E[x^2], normalize computed in
+    the f32-promoted precision and cast to dtype at the end), so losses
+    match flax BN bit-for-bit barring reduction-order reassociation; the
+    only intended difference is which buffers XLA materializes. Selected via
+    fused_bn="lean"; measured on hardware before any default routing."""
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (feat,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (feat,)
+        )
+        dtype = self.dtype or x.dtype
+        axes = tuple(range(x.ndim - 1))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # reductions read x in its stored dtype; the f32 convert fuses
+            # into each reduce instead of materializing an f32 activation
+            mean = jnp.mean(x, axes, dtype=jnp.float32)
+            mean2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axes)
+            var = jnp.maximum(0.0, mean2 - jnp.square(mean))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        # normalize exactly like flax _normalize: promoted (f32) arithmetic,
+        # one cast to the compute dtype at the end
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x - mean) * mul + bias
+        return y.astype(dtype)
+
+
 class FusedBatchNorm(nn.Module):
     """nn.BatchNorm-compatible module using the hand-scheduled training
     kernel above. Same attribute subset the models use; same param and

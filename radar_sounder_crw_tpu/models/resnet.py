@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .fused_bn import FusedBatchNorm
+from .fused_bn import FusedBatchNorm, LeanBatchNorm
 from .initializers import (
     kaiming_normal_fan_out,
     torch_default_bias_init,
@@ -28,19 +28,24 @@ from .initializers import (
 )
 
 
-def make_norm(fused: bool | None, train: bool, dtype, name: str):
-    """BatchNorm factory: flax nn.BatchNorm, or the hand-scheduled
-    FusedBatchNorm (models/fused_bn.py) when `fused` is explicitly True.
-
-    None = flax. MEASURED NEGATIVE RESULT (v5e, 2026-08-17, interleaved
-    A/B through CRWTrainer, benchmarks/bench_fused_bn.py): 17.7 vs 16.75
-    ms/step — the custom_vjp boundary blocks XLA's conv+BN fusions and the
-    backward's xhat recompute costs more than the materialized f32
-    activation copy it saves. Kept correct + tested, never auto-routed.
-    Parameter/collection layout is identical either way."""
-    if fused is None:
-        fused = False
-    cls = FusedBatchNorm if fused else nn.BatchNorm
+def make_norm(fused: bool | str | None, train: bool, dtype, name: str):
+    """BatchNorm factory: flax nn.BatchNorm (None/False), the hand-scheduled
+    FusedBatchNorm (True/'fused' — MEASURED NEGATIVE RESULT, v5e 2026-08-17,
+    interleaved A/B through CRWTrainer, benchmarks/bench_fused_bn.py: 17.7 vs
+    16.75 ms/step; the custom_vjp boundary blocks XLA's conv+BN fusions and
+    the backward's xhat recompute costs more than the materialized f32
+    activation copy it saves), or the pure-jnp LeanBatchNorm ('lean' —
+    bf16-read statistics with f32 accumulation, no autodiff boundary; the
+    round-3-VERDICT #5 experiment). Parameter/collection layout is identical
+    across all three."""
+    if fused in (None, False):
+        cls = nn.BatchNorm
+    elif fused in (True, "fused"):
+        cls = FusedBatchNorm
+    elif fused == "lean":
+        cls = LeanBatchNorm
+    else:
+        raise ValueError(f"unknown BatchNorm implementation {fused!r}")
     return cls(
         use_running_average=not train,
         momentum=0.9,
@@ -74,17 +79,24 @@ class StemConv(nn.Module):
 
     width: int
     dtype: jnp.dtype = jnp.float32
-    s2d: bool | None = None  # None = auto: space-to-depth on TPU backends
+    s2d: bool | None = None  # None = auto: space-to-depth on TPU, TRAIN only
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = True):
         in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", kaiming_normal_fan_out, (7, 7, in_ch, self.width)
         )
         s2d = self.s2d
         if s2d is None:
-            s2d = jax.default_backend() == "tpu"
+            # auto: space-to-depth pays off in TRAINING (it fixes the
+            # 3-output-channel backward-input conv, -1 ms/step on v5e) but
+            # is an HBM disaster at INFERENCE — measured 368 MB vs 23 MB
+            # bytes-accessed for plain conv7x7/s2 on a 400-patch eval batch
+            # (benchmarks/encoder_bytes.py; the phase-split slices and the
+            # 16-tap conv4x4 lowering materialize the stage output ~15x).
+            # Eval has no backward, so the plain conv wins there.
+            s2d = jax.default_backend() == "tpu" and train
         B, H, W, _ = x.shape
         if not s2d or H % 2 or W % 2:
             return jax.lax.conv_general_dilated(
@@ -138,7 +150,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     use_projection: bool = False
     dtype: jnp.dtype = jnp.float32
-    fused_bn: bool | None = None  # None = flax BN (fused is a measured negative result)
+    fused_bn: bool | str | None = None  # see make_norm
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -188,7 +200,7 @@ class ResNetCore(nn.Module):
     width: int = 64
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool | None = None  # None = auto (space-to-depth on TPU)
-    fused_bn: bool | None = None  # None = flax BN (fused is a measured negative result)
+    fused_bn: bool | str | None = None  # see make_norm
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -197,7 +209,7 @@ class ResNetCore(nn.Module):
             dtype=self.dtype,
             s2d=self.s2d_stem,
             name="conv1",
-        )(x)
+        )(x, train=train)
         x = make_norm(self.fused_bn, train, self.dtype, "bn1")(x)
         x = nn.relu(x)
         # NOTE: a max-tree-of-strided-slices pool variant was measured at

@@ -70,7 +70,8 @@ class CRWTrainConfig:
     # path (e.g. radargrams too large for HBM).
     s2d_stem: bool | None = None  # ResNet stem conv as space-to-depth
     # (models/resnet.py:StemConv); None = auto (on for TPU backends).
-    fused_bn: bool | None = None  # hand-scheduled training BatchNorm
+    fused_bn: bool | str | None = None  # BatchNorm impl: None = flax;
+    # True/'fused' = hand-scheduled custom_vjp; 'lean' = bf16-read statistics
     # (models/fused_bn.py); None = OFF — a measured negative result on TPU
     # (17.7 vs 16.75 ms/step, see models/resnet.py:make_norm), kept opt-in
     # only. Unlike s2d_stem, never auto-enabled.
