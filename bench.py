@@ -87,11 +87,17 @@ def host_fetch_floor_ms() -> float | None:
     import jax
     import jax.numpy as jnp
 
-    x = jax.jit(lambda: jnp.float32(1.0))()
-    x.block_until_ready()
-    float(jax.device_get(x))  # warm the fetch path
+    # a FRESH result each iteration: repeated fetches of one committed
+    # array can be served from a client-side buffer without a round-trip
+    # (measured 0.031 ms that way vs ~20+ ms for fresh results through the
+    # relay), which would understate the floor
+    f = jax.jit(lambda v: v + 1.0)
+    x = f(jnp.float32(0.0))
+    float(jax.device_get(x))  # warm compile + fetch path
     samples = []
     for _ in range(10):
+        x = f(x)
+        x.block_until_ready()
         t0 = time.perf_counter()
         float(jax.device_get(x))
         samples.append(time.perf_counter() - t0)
