@@ -286,6 +286,7 @@ def _single_block_pipeline(
     feats_ref, q, mask, bias_at, labels_ref, temp,
     ns,  # traced valid-slot count, ALREADY clipped to [min_slots, kb]
     *, knn: int, n_rows: int, n_lanes: int, kb: int, n_real: int, ch: int,
+    labels_rowmajor: bool = False,
 ):
     """One single-block dynamic-valid-prefix propagation frame, shared by
     the per-frame step kernel and the whole-sequence resident kernel (v2):
@@ -303,7 +304,16 @@ def _single_block_pipeline(
     bias_at(start_row, n) -> the (n, 1) validity-bias column for candidate
     rows [start_row, start_row + n) — a ref load for the per-frame kernel,
     an arithmetic construction for the resident kernel (Mosaic has no
-    dynamic_slice on VALUES, so the bias cannot ride as one big value)."""
+    dynamic_slice on VALUES, so the bias cannot ride as one big value).
+
+    labels_ref carries the context soft labels either TRANSPOSED as
+    (M_pad, kbn) — the per-frame kernel's layout — or UNtransposed as
+    (kbn, M_pad) (labels_rowmajor=True): the resident kernel must push each
+    frame's prediction into its label ring at a dynamic slot offset, and
+    Mosaic only allows dynamic offsets on the SUBLANE axis (lane offsets
+    must be provably 128-aligned; the slot pitch n_rows is 8-aligned only),
+    so its ring keeps candidate rows on sublanes. The matmul contracts the
+    same candidate axis either way."""
     kbn = kb * n_rows
 
     def mchunk(c, g):
@@ -434,7 +444,10 @@ def _single_block_pipeline(
     contrib = jax.lax.dot_general(
         labels_ref[:],
         aff[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(
+            ((0,), (0,)) if labels_rowmajor else ((1,), (0,)),
+            ((), ()),
+        ),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (M_pad, n_lanes)
@@ -922,11 +935,13 @@ def _prop_seq_v2_kernel(
     embT_ref,  # (1, C_pad, N_lanes) frame t features, transposed (query)
     embP_ref,  # (1, N_rows, C_pad) frame t features (ring-push layout)
     emb0_ref,  # (N_rows, C_pad) frame 0 features (ring init)
-    seedT_ref,  # (M_pad, N_rows) seed labels, transposed
+    seedP_ref,  # (N_rows, M_pad) seed labels (ring-push layout)
     mask_ref,  # (N_rows, N_lanes) radius mask (pad_mask layout)
     soft_ref,  # out block: (1, M_pad, N_lanes) this frame's soft labels
     featsS,  # scratch (kb*N_rows, C_pad): feature ring, resident all frames
-    labS,  # scratch (M_pad, kb*N_rows): label ring
+    labS,  # scratch (kb*N_rows, M_pad): label ring, ROW-major (candidate
+    # rows on sublanes — ring pushes use dynamic slot offsets, which Mosaic
+    # only allows on the sublane axis; see _single_block_pipeline)
     aff,  # scratch (kb*N_rows, N_lanes): in-place affinity -> W buffer
     bvals, bidx, gvals, gidx, wvals,  # top-k state (as in the step kernel)
     *,
@@ -967,13 +982,13 @@ def _prop_seq_v2_kernel(
         # non-finite before the bias add; garbage labels would turn the
         # exact-0.0 weights of skipped rows into NaN contributions
         featsS[:] = jnp.zeros((kbn, featsS.shape[1]), jnp.float32)
-        labS[:] = jnp.zeros((labS.shape[0], kbn), jnp.float32)
+        labS[:] = jnp.zeros((kbn, labS.shape[1]), jnp.float32)
         featsS[L * n_rows : (L + 1) * n_rows, :] = emb0_ref[:]
-        labS[:, L * n_rows : (L + 1) * n_rows] = seedT_ref[:]
+        labS[L * n_rows : (L + 1) * n_rows, :] = seedP_ref[:]
         for j, fj in enumerate(long_mem):
             if fj == 0:
                 featsS[j * n_rows : (j + 1) * n_rows, :] = emb0_ref[:]
-                labS[:, j * n_rows : (j + 1) * n_rows] = seedT_ref[:]
+                labS[j * n_rows : (j + 1) * n_rows, :] = seedP_ref[:]
 
     # per-candidate-row validity bias (ops/labelprop.py:_slot_validity):
     # ring slots valid once written (r < t suffices: r < cxt by layout),
@@ -999,21 +1014,24 @@ def _prop_seq_v2_kernel(
         aff, bvals, bidx, gvals, gidx, wvals,
         featsS, embT_ref[0], mask_ref[:], bias_at, labS, temp_ref[0, 0], ns,
         knn=knn, n_rows=n_rows, n_lanes=n_lanes, kb=kb, n_real=n_real, ch=ch,
+        labels_rowmajor=True,
     )
     soft_ref[0] = pred
 
-    # push frame t into the ring (same policy as labelprop._push_frame)
+    # push frame t into the ring (same policy as labelprop._push_frame);
+    # the label ring is row-major, so the push stores pred TRANSPOSED at a
+    # dynamic SUBLANE offset (lane offsets would need 128-alignment)
     slot = L + jnp.mod(t, cxt)
-    pred_store = pred[:, :n_rows]
+    pred_store = jnp.transpose(pred[:, :n_rows], (1, 0))  # (N_rows, M_pad)
     featsS[pl.ds(slot * n_rows, n_rows), :] = embP_ref[0]
-    labS[:, pl.ds(slot * n_rows, n_rows)] = pred_store
+    labS[pl.ds(slot * n_rows, n_rows), :] = pred_store
     for j, fj in enumerate(long_mem):
         if fj == 0:
             continue  # pinned at init; the grid starts at t = 1
         @pl.when(t == fj)
         def _pin(j=j):
             featsS[pl.ds(j * n_rows, n_rows), :] = embP_ref[0]
-            labS[:, pl.ds(j * n_rows, n_rows)] = pred_store
+            labS[pl.ds(j * n_rows, n_rows), :] = pred_store
 
 
 def plan_seq(K: int, N: int, C: int, M: int, knn: int) -> int | None:
@@ -1076,8 +1094,8 @@ def propagate_all_pallas_v2(
     embT = embT.at[:, :C, :N].set(jnp.transpose(emb[1:], (0, 2, 1)))
     embP = jnp.zeros((T - 1, n_rows, c_pad), jnp.float32).at[:, :N, :C].set(emb[1:])
     emb0 = jnp.zeros((n_rows, c_pad), jnp.float32).at[:N, :C].set(emb[0])
-    seedT = jnp.zeros((m_pad, n_rows), jnp.float32)
-    seedT = seedT.at[:M, :N].set(seed_labels.astype(jnp.float32).T)
+    seedP = jnp.zeros((n_rows, m_pad), jnp.float32)
+    seedP = seedP.at[:N, :M].set(seed_labels.astype(jnp.float32))
     mask = pad_mask(radius_mask_nn, N)
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
@@ -1093,13 +1111,13 @@ def propagate_all_pallas_v2(
             pl.BlockSpec((1, c_pad, n_lanes), lambda i: (i, 0, 0)),  # embT
             pl.BlockSpec((1, n_rows, c_pad), lambda i: (i, 0, 0)),  # embP
             pl.BlockSpec((n_rows, c_pad), lambda i: (0, 0)),  # emb0
-            pl.BlockSpec((m_pad, n_rows), lambda i: (0, 0)),  # seedT
+            pl.BlockSpec((n_rows, m_pad), lambda i: (0, 0)),  # seedP
             pl.BlockSpec((n_rows, n_lanes), lambda i: (0, 0)),  # mask
         ],
         out_specs=pl.BlockSpec((1, m_pad, n_lanes), lambda i: (i, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((kb * n_rows, c_pad), jnp.float32),  # featsS
-            pltpu.VMEM((m_pad, kb * n_rows), jnp.float32),  # labS
+            pltpu.VMEM((kb * n_rows, m_pad), jnp.float32),  # labS (row-major)
             pltpu.VMEM((kb * n_rows, n_lanes), jnp.float32),  # aff
             pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
             pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
@@ -1111,7 +1129,7 @@ def propagate_all_pallas_v2(
             vmem_limit_bytes=STEP_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(temp_arr, embT, embP, emb0, seedT, mask)
+    )(temp_arr, embT, embP, emb0, seedP, mask)
     soft_rest = jnp.transpose(soft[:, :M, :N], (0, 2, 1))  # (T-1, N, M)
     return jnp.concatenate(
         [seed_labels.astype(jnp.float32)[None], soft_rest], axis=0
@@ -1301,7 +1319,7 @@ def propagate_all_pallas(
             vmem_limit_bytes=RESIDENT_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(temp_arr, embT, embP, emb0, seedT, mask)
+    )(temp_arr, embT, embP, emb0, seedP, mask)
     soft_rest = jnp.transpose(soft[:, :M, :N], (0, 2, 1))  # (T-1, N, M)
     return jnp.concatenate(
         [seed_labels.astype(jnp.float32)[None], soft_rest], axis=0
