@@ -85,6 +85,10 @@ def _batched_body(
         lambda s: encode_sequence(model, variables, s, use_pos_embed, bn_train_mode)
     )(seqs)
     _, pred = propagate_labels_batched(embs, seeds, cfg, None, kernel)
+    if seeds.shape[-1] <= 127:
+        # int8 class-map fetch (see _encode_propagate_single): the batched
+        # (R, T, N) int32 fetch is the survey path's largest host transfer
+        pred = pred.astype(jnp.int8)
     xents = None
     if compute_xent or return_xent:
         xents = jax.vmap(
@@ -167,6 +171,14 @@ def _encode_propagate_single(
     xent = horizontality_xent(emb, xent_tau, quirk_channel_shift=xent_quirk)
     soft, pred = propagate_labels(emb, seed, cfg, None, kernel)
     sig = column_diffs(xent) if compute_sig else None
+    # fetch the class map as int8: class counts are tiny (<= 6 in every
+    # registry dataset) and the (T, N) int32 fetch at MC3 scale is ~76 KB —
+    # past the ~80 KB threshold where one large fetch degrades every later
+    # call through this deployment's relay (BASELINE.md measurement-order
+    # note); int8 keeps it at ~19 KB. Guarded on the (static) class count
+    # so exotic M > 127 label sets cannot overflow.
+    if soft.shape[-1] <= 127:
+        pred = pred.astype(jnp.int8)
     return soft, pred, xent, sig, emb
 
 
@@ -354,6 +366,8 @@ class PropagationPipeline:
         _, pred = propagate_labels(
             tail_emb, jnp.asarray(seed), self.lp_cfg, None, "auto"
         )
+        if seed.shape[-1] <= 127:
+            pred = pred.astype(jnp.int8)  # small class-map fetch (see above)
         tail = np.asarray(jax.device_get(pred))[:tail_len]
         tail = tail.T.astype(np.int32)  # (N, T-f)
         full = cache["prediction"].copy()
