@@ -1319,7 +1319,7 @@ def propagate_all_pallas(
             vmem_limit_bytes=RESIDENT_VMEM_LIMIT,
         ),
         interpret=interpret,
-    )(temp_arr, embT, embP, emb0, seedP, mask)
+    )(temp_arr, embT, embP, emb0, seedT, mask)
     soft_rest = jnp.transpose(soft[:, :M, :N], (0, 2, 1))  # (T-1, N, M)
     return jnp.concatenate(
         [seed_labels.astype(jnp.float32)[None], soft_rest], axis=0
