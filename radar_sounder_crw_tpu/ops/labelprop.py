@@ -506,6 +506,17 @@ def propagate_labels_batched(
     Results are identical to the unchunked call; a trailing partial chunk
     is padded with the first radargram and its outputs dropped.
     """
+    if isinstance(kernel, str) and kernel.startswith("pallas_seq"):
+        # the seq kernel's grid IS the frame axis (pl.program_id(0) = frame);
+        # vmap would prepend the batch as grid dim 0 and silently mis-index
+        # frames. Map sequentially per radargram instead — correct, but the
+        # per-frame kernels are the batched path's parallel option.
+        return jax.lax.map(
+            lambda es: propagate_labels(
+                es[0], es[1], cfg, grid_hw, kernel, query_block, vmem_budget
+            ),
+            (emb, seed_labels),
+        )
     run = jax.vmap(
         lambda e, s: propagate_labels(
             e, s, cfg, grid_hw, kernel, query_block, vmem_budget

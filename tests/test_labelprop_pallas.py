@@ -357,3 +357,28 @@ def test_plan_seq_decisions():
     assert kb is not None and kb % 8 == 0 and kb >= 101
     # an absurd working set does not
     assert plan_seq(K=2000, N=512, C=512, M=8, knn=20) is None
+
+
+def test_seq_v2_batched_matches_per_item():
+    """propagate_labels_batched with kernel='pallas_seq' must route around
+    vmap (the kernel's grid IS the frame axis; vmap would prepend the batch
+    as grid dim 0 and silently mis-index frames) — results equal the
+    per-item calls."""
+    from radar_sounder_crw_tpu.ops.labelprop import propagate_labels_batched
+
+    R, T, N, C, M = 2, 7, 10, 8, 3
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((R, T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seeds = np.eye(M, dtype=np.float32)[rng.integers(0, M, (R, N))]
+    cfg = LabelPropConfig(cxt_size=4, radius=3, temperature=0.07, knn=3)
+    s_b, p_b = propagate_labels_batched(
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "pallas_seq_interpret"
+    )
+    for r in range(R):
+        s_i, p_i = propagate_labels(
+            jnp.asarray(emb[r]), jnp.asarray(seeds[r]), cfg, None,
+            "pallas_seq_interpret",
+        )
+        np.testing.assert_array_equal(np.asarray(s_b[r]), np.asarray(s_i))
+        np.testing.assert_array_equal(np.asarray(p_b[r]), np.asarray(p_i))
