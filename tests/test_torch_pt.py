@@ -14,7 +14,6 @@ import pytest
 import torch
 
 from radar_sounder_crw_tpu.data import load_pt, save_pt
-from radar_sounder_crw_tpu.data.torch_pt import _LEGACY_MAGIC  # noqa: F401
 
 FIXTURE_ROOT = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "fixtures", "data_root"
