@@ -310,7 +310,13 @@ def _bench_seed_to_map(metric, unit, anchors, T, N, hw, nclasses, radius, temp):
     print(f"{metric} {ms:.1f} ms (T={T}, N={N})", file=sys.stderr)
 
     anchor, kind = read_anchor(*anchors)
-    emit(metric, ms, unit, anchor / ms if anchor else None, kind)
+    floor = _HOST_FETCH_FLOOR_MS or 0.0
+    emit(
+        metric, ms, unit, anchor / ms if anchor else None, kind,
+        # wall minus the session's measured fetch floor: the device+dispatch
+        # share a reader can compare across sessions (VERDICT r3 #8)
+        device_ms_estimate=round(max(ms - floor, 0.0), 2),
+    )
 
 
 def bench_propagation():
@@ -353,10 +359,12 @@ def bench_interactive_reseed():
     anchor, kind = read_anchor(
         "reference_propagation_ms", "reference_cpu_torch_propagation_ms"
     )
+    floor = _HOST_FETCH_FLOOR_MS or 0.0
     emit(
         "interactive_reseed_ms", ms,
         "ms per re-seed refinement (cached embeddings, T=100, N=113, incl. host fetch)",
         anchor / ms if anchor else None, kind,
+        device_ms_estimate=round(max(ms - floor, 0.0), 2),
     )
 
 
