@@ -77,7 +77,7 @@ def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
                 )
             # bound for THIS window length: shorter windows (correction
             # tails) have more valid start positions than geo.nw
-            nw_max = (rg.shape[2] - geo.item_width(T)) // (geo.w - geo.ow) + 1
+            nw_max = geo.num_windows(T, W=rg.shape[2])
             if idx_arr.size and (
                 idx_arr[:, 0].min() < 0
                 or idx_arr[:, 0].max() >= rg.shape[0]
@@ -104,7 +104,7 @@ def gather_windows(rg, indices, geo: GridGeometry, length: int | None = None):
         # traced `take` would silently clamp to the edge column instead —
         # fail loudly while the indices are still concrete. Bound for THIS
         # length: shorter (correction-tail) windows have more valid starts.
-        nw_t = (geo.W - geo.item_width(T)) // (geo.w - geo.ow) + 1
+        nw_t = geo.num_windows(T)
         if idx_arr.size and (idx_arr.min() < 0 or idx_arr.max() >= nw_t):
             raise IndexError(
                 f"window index out of range [0, {nw_t}) for length={T} "

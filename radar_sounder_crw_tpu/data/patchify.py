@@ -70,6 +70,14 @@ class GridGeometry:
         length = self.length if length is None else length
         return length * self.w - self.ow * (length - 1)
 
+    def num_windows(self, length: int | None = None, W: int | None = None) -> int:
+        """Number of valid window start positions for a window of `length`
+        frames over a trace axis of `W` pixels (defaults: self.length /
+        self.W — then equal to `nw`). The ONE home of the length-aware
+        bound shorter correction windows validate against."""
+        W = self.W if W is None else W
+        return (W - self.item_width(length)) // (self.w - self.ow) + 1
+
     def rg_len(self) -> int:
         """Rendered pixel length of one item, as used by the test scripts:
         T*(w-ow)+ow (reference: scripts/test/test_all.py:72)."""

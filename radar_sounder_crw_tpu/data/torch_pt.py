@@ -154,31 +154,59 @@ class _ZipUnpickler(_RestrictedUnpickler):
         return self._cache[key]
 
 
+class _StorageDesc:
+    """Deferred storage reference in the legacy format (the payload bytes
+    come AFTER the main pickle). Unambiguous — plain tuples in user data
+    could collide with a tuple-shaped descriptor."""
+
+    __slots__ = ("dtype", "key", "offset", "numel")
+
+    def __init__(self, dtype, key, offset, numel):
+        self.dtype = dtype
+        self.key = key
+        self.offset = offset
+        self.numel = numel  # -1 = whole storage
+
+    def resolve(self, storages: dict) -> np.ndarray:
+        arr = storages[self.key]
+        if self.numel < 0:
+            return arr[self.offset :]
+        return arr[self.offset : self.offset + self.numel]
+
+
 class _LegacyUnpickler(_RestrictedUnpickler):
     def __init__(self, file):
         super().__init__(file)
         self.pendings: list[_Pending] = []
+        self.key_dtypes: dict[str, np.dtype] = {}
 
     def persistent_load(self, pid):
         # ('storage', storage_type, root_key, location, numel, view_metadata)
         if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
             raise pickle.UnpicklingError(f"unsupported persistent id {pid!r}")
         _, stype, root_key, _location, _numel = pid[:5]
+        # every storage key passes through here, so the payload reader can
+        # advance the byte stream by the RIGHT element width even for
+        # storages no rebuilt tensor references (raw torch.Storage objects)
+        self.key_dtypes[root_key] = stype.dtype
         view = pid[5] if len(pid) > 5 else None
         if view:
             # (view_key, storage_offset, numel) slice of the root storage
             _vkey, voff, vnum = view
-            return ("view", stype.dtype, root_key, int(voff), int(vnum))
-        return ("root", stype.dtype, root_key, 0, -1)
+            return _StorageDesc(stype.dtype, root_key, int(voff), int(vnum))
+        return _StorageDesc(stype.dtype, root_key, 0, -1)
 
 
 def _legacy_rebuild_factory(unpickler: _LegacyUnpickler):
-    """Legacy rebuilds get storage *descriptors* (tuples), not arrays —
-    wrap them in _Pending cells resolved once the payloads are read."""
+    """Legacy rebuilds get storage *descriptors*, not arrays — wrap them in
+    _Pending cells resolved once the payloads are read."""
 
     def rebuild(storage_desc, offset, size, stride, *rest):
-        kind, dtype, root_key, base_off, _ = storage_desc
-        p = _Pending(dtype, root_key, (int(offset) + base_off, size, stride))
+        p = _Pending(
+            storage_desc.dtype,
+            storage_desc.key,
+            (int(offset) + storage_desc.offset, size, stride),
+        )
         unpickler.pendings.append(p)
         return p
 
@@ -186,7 +214,8 @@ def _legacy_rebuild_factory(unpickler: _LegacyUnpickler):
 
 
 def _resolve_pendings(obj, storages: dict):
-    if isinstance(obj, _Pending):
+    if isinstance(obj, (_Pending, _StorageDesc)):
+        # raw torch.Storage objects resolve to their flat numpy arrays
         return obj.resolve(storages)
     if isinstance(obj, dict):
         return type(obj)(
@@ -201,15 +230,35 @@ def _resolve_pendings(obj, storages: dict):
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
 
 
+class _PlainUnpickler(pickle.Unpickler):
+    """For the legacy format's framing pickles (magic number, protocol,
+    sys_info, storage-key list): plain ints/strings/dicts only — resolving
+    ANY global would be an attack surface, so find_class always raises.
+    (The stock pickle.load here would defeat the module's restricted-loader
+    safety property: the framing pickles run BEFORE any format check.)"""
+
+    def find_class(self, module, name):
+        raise pickle.UnpicklingError(
+            f"torch-free .pt reader: the legacy framing pickles must not "
+            f"reference globals (found '{module}.{name}')"
+        )
+
+    def persistent_load(self, pid):
+        raise pickle.UnpicklingError(
+            "torch-free .pt reader: unexpected persistent id in a legacy "
+            "framing pickle"
+        )
+
+
 def _load_legacy(f) -> object:
-    magic = pickle.load(f)
+    magic = _PlainUnpickler(f).load()
     if magic != _LEGACY_MAGIC:
         raise ValueError(
             "not a torch .pt file (bad magic; the ancient tar format is not "
             "supported — re-save with a modern torch)"
         )
-    _protocol = pickle.load(f)
-    _sys_info = pickle.load(f)
+    _protocol = _PlainUnpickler(f).load()
+    _sys_info = _PlainUnpickler(f).load()
     up = _LegacyUnpickler(f)
     # route _rebuild_tensor[_v2] through the deferred-storage factory
     rebuild = _legacy_rebuild_factory(up)
@@ -219,12 +268,20 @@ def _load_legacy(f) -> object:
         lambda s, o, sz, st: rebuild(s, o, sz, st)
     )
     result = up.load()
-    keys = pickle.load(f)  # deserialized_storage_keys (plain str list)
-    dtypes = {p.root_key: p.dtype for p in up.pendings}
+    keys = _PlainUnpickler(f).load()  # deserialized_storage_keys (str list)
     storages: dict[str, np.ndarray] = {}
     for key in keys:
         (numel,) = struct.unpack("<q", f.read(8))
-        dtype = dtypes.get(key, np.dtype("uint8"))
+        if key not in up.key_dtypes:
+            # every storage key must have appeared through a persistent id;
+            # without its dtype the byte stream cannot be advanced reliably
+            # (guessing would silently desync every later storage)
+            raise ValueError(
+                f"legacy .pt declares a storage ('{key}') with no "
+                f"persistent-id record — unsupported layout for the "
+                f"torch-free reader"
+            )
+        dtype = up.key_dtypes[key]
         raw = f.read(numel * dtype.itemsize)
         storages[key] = np.frombuffer(raw, dtype=dtype)
     return _resolve_pendings(result, storages)

@@ -216,6 +216,16 @@ class PropagationPipeline:
         pelt_pen: float = 5.0,
         cache_embeddings: bool = True,
     ):
+        # Inference never takes gradients, so the stem must use its EVAL
+        # schedule even when bn_train_mode applies batch statistics (that
+        # flag flips the flax `train` switch, which would otherwise select
+        # the space-to-depth stem — a training-only win that 16x-amplifies
+        # eval HBM traffic, BASELINE.md r4). Auto-configured models are
+        # cloned with the s2d stem pinned off; explicit s2d_stem=True is
+        # honored as the user's override. Parameters are identical either
+        # way (the s2d path rebuilds its kernel from the 7x7 parameter).
+        if getattr(model, "s2d_stem", False) is None:
+            model = model.clone(s2d_stem=False)
         self.model = model
         self.variables = variables
         self.lp_cfg = lp_cfg
@@ -539,15 +549,37 @@ class PropagationPipeline:
             else:
                 gather_ids += off
         # validate bounds for THIS length while the ids are concrete (the
-        # traced gather would silently clamp); width limit per layout:
-        W_avail = rg_host.shape[-1]
-        nw_t = (W_avail - geo.item_width(T)) // (geo.w - geo.ow) + 1
+        # traced gather would silently clamp — or, on a zero-padded stack,
+        # silently read padding). Stacked sources validate each pair
+        # against ITS OWN segment's true width (the stack is padded to the
+        # widest segment, so the Wmax bound alone would admit windows that
+        # overrun a narrower segment into zeros).
         win_col = gather_ids[:, 1] if gather_ids.ndim == 2 else gather_ids
-        if win_col.size and (win_col.min() < 0 or win_col.max() >= nw_t):
-            raise IndexError(
-                f"gather window index out of range [0, {nw_t}) for "
-                f"length={T} in {win_col!r}"
-            )
+        if gather_ids.ndim == 2:
+            inner = getattr(source, "dataset", source)
+            segments = getattr(inner, "datasets", None)
+            if segments is not None:
+                widths = [d.rg.shape[1] for d in segments]
+            else:  # no per-segment view: fall back to the stack width
+                widths = [rg_host.shape[-1]] * int(gather_ids[:, 0].max() + 1)
+            nw_seg = np.array([geo.num_windows(T, W=int(w)) for w in widths])
+            bad = (win_col < 0) | (win_col >= nw_seg[gather_ids[:, 0]])
+            if bad.any():
+                k = int(np.argmax(bad))
+                raise IndexError(
+                    f"gather window {int(win_col[k])} out of range "
+                    f"[0, {int(nw_seg[gather_ids[k, 0]])}) for "
+                    f"length={T} in segment {int(gather_ids[k, 0])}"
+                )
+        else:
+            nw_t = geo.num_windows(T, W=rg_host.shape[-1])
+            if win_col.size and (
+                win_col.min() < 0 or win_col.max() >= nw_t
+            ):
+                raise IndexError(
+                    f"gather window index out of range [0, {nw_t}) for "
+                    f"length={T} in {win_col!r}"
+                )
 
         mesh = make_mesh() if mesh is None else mesh
         rg_dev = self._resident_radargram(rg_host, mesh)
@@ -574,13 +606,15 @@ class PropagationPipeline:
 
     def _resident_radargram(self, rg_host: np.ndarray, mesh):
         """Upload `rg_host` replicated over `mesh` once; reuse across passes
-        (forward, reverse, every correction bucket hit the same copy)."""
+        (forward, reverse, every correction bucket hit the same copy). The
+        memo holds the host array AND the mesh themselves and compares by
+        identity — id()-based keys could alias a garbage-collected object's
+        recycled address to a different mesh/array."""
         memo = getattr(self, "_rg_memo", None)
-        key = (id(rg_host), id(mesh))
-        if memo is not None and memo[0] == key and memo[1] is rg_host:
+        if memo is not None and memo[0] is rg_host and memo[1] is mesh:
             return memo[2]
         from ..parallel.mesh import replicated
 
         rg_dev = jax.device_put(jnp.asarray(rg_host), replicated(mesh))
-        self._rg_memo = (key, rg_host, rg_dev)
+        self._rg_memo = (rg_host, mesh, rg_dev)
         return rg_dev

@@ -195,3 +195,57 @@ def test_resident_radargram_memoized(single_rg):
     assert pipe._rg_memo[2] is memo1
     pipe.propagate_survey(ds, ids, refs, length=5)
     assert pipe._rg_memo[2] is memo1
+
+
+def test_survey_stacked_offset_respects_segment_widths():
+    """On a zero-padded multi-width stack, an offset window that fits the
+    WIDEST segment but overruns a NARROWER one must raise — not silently
+    gather padding zeros (review finding)."""
+    patch, overlap, T = (16, 16), (8, 0), 6
+    pxw = T * 16
+    rgs = []
+    for s, w_extra in zip((5, 6), (0, 64)):  # widths 96 and 160
+        rg, _ = synthetic_radargram(H=72, W=pxw + w_extra, nclasses=4, seed=s)
+        rgs.append(rg)
+    sets = [RGWindows(r, length=T, dim=patch, overlap=overlap) for r in rgs]
+    cat = ConcatWindows(sets)
+    pipe = _make_pipe()
+    geo = cat.geo
+    refs = [np.zeros((geo.rg_h(), 16), np.int64)] * 2
+    # offset 4 with length 4: end col = (0+4)*16 + 4*16 = 128 — fits the
+    # 160-wide segment, overruns the 96-wide one
+    with pytest.raises(IndexError, match="segment 0"):
+        pipe.propagate_survey(
+            cat, [0, 1], refs, length=4, frame_offsets=[4, 4]
+        )
+    # the same windows on the wide segment alone are fine
+    out = pipe.propagate_survey(cat, [1], refs[:1], length=4, frame_offsets=[4])
+    assert out.shape == (1, geo.nh, 4)
+
+
+def test_pipeline_pins_eval_stem_for_auto_models():
+    """bn_train_mode=True applies the flax train switch at inference; the
+    pipeline must still use the EVAL stem schedule (auto s2d is a training
+    win but a 16x eval HBM amplifier — review finding). Explicit overrides
+    are honored."""
+    model = create_model(1, False)  # ResNetEncoder, s2d_stem=None (auto)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), train=False
+    )
+    pipe = PropagationPipeline(
+        model, dict(variables), LabelPropConfig(4, 4, 0.1, 3), nclasses=4,
+        bn_train_mode=True,
+    )
+    assert pipe.model.s2d_stem is False
+    forced = model.clone(s2d_stem=True)
+    pipe2 = PropagationPipeline(
+        forced, dict(variables), LabelPropConfig(4, 4, 0.1, 3), nclasses=4
+    )
+    assert pipe2.model.s2d_stem is True  # user override untouched
+    # CNN has no stem flag: passes through unchanged
+    cnn = create_model(0, False)
+    vc = cnn.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)), train=False)
+    pipe3 = PropagationPipeline(
+        cnn, dict(vc), LabelPropConfig(4, 4, 0.1, 3), nclasses=4
+    )
+    assert pipe3.model is cnn

@@ -201,3 +201,30 @@ def test_exported_checkpoint_loads_in_real_torch(tmp_path):
     assert set(sd) == set(want)
     for k in want:
         np.testing.assert_array_equal(sd[k].numpy(), want[k], err_msg=k)
+
+
+def test_legacy_framing_pickles_are_restricted(tmp_path):
+    """The legacy format's framing pickles (magic/protocol/sys_info/keys)
+    run BEFORE any format check — they must refuse globals too, not just
+    the main pickle (review finding: stock pickle.load there would execute
+    a malicious reduce payload)."""
+    evil = tmp_path / "evil_legacy.bin"  # not a zipfile -> legacy path
+    evil.write_bytes(pickle.dumps(os.system))
+    with pytest.raises(pickle.UnpicklingError, match="framing"):
+        load_pt(evil)
+
+
+def test_legacy_raw_storage_resolves_without_desync(tmp_path):
+    """A legacy .pt holding a raw torch.Storage (no rebuilt tensor) must
+    not desync the payload stream (the pid carries the dtype, so the byte
+    advance is exact); the storage resolves to its flat array and LATER
+    tensors still read correctly."""
+    s = torch.arange(6, dtype=torch.float32).storage()
+    t2 = torch.arange(12, dtype=torch.float64).reshape(3, 4)
+    p = tmp_path / "raw_storage.pt"
+    torch.save({"s": s, "t2": t2}, str(p), _use_new_zipfile_serialization=False)
+    got = load_pt(p)
+    np.testing.assert_array_equal(
+        np.asarray(got["s"]), np.arange(6, dtype=np.float32)
+    )
+    np.testing.assert_array_equal(got["t2"], t2.numpy())
