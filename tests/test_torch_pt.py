@@ -159,6 +159,11 @@ def test_checkpoint_interchange_without_torch(tmp_path):
     body = f"""
 import numpy as np
 import jax, jax.numpy as jnp
+# force the CPU backend BEFORE any device use: with JAX_PLATFORMS unset,
+# auto-detection initializes the axon TPU tunnel, which can hang
+# indefinitely when the tunnel session is unhealthy (observed) — this
+# test is about torch-free IO, not the accelerator
+jax.config.update("jax_platforms", "cpu")
 from radar_sounder_crw_tpu.models import create_model, load_torch_checkpoint
 from radar_sounder_crw_tpu.train.checkpoint import save_encoder_torch
 model = create_model(0, False)
