@@ -63,6 +63,10 @@ def get_args_parser():
     parser.add_argument("--model_path", default="./resources/models/sharad16_3.pt")
     parser.add_argument("--pos_embed", action="store_true")
     parser.add_argument("--allow_untrained", action="store_true")
+    parser.add_argument("--bn_train_mode", action="store_true",
+                        help="BatchNorm batch stats at inference (the reference's de-facto behavior)")
+    parser.add_argument("--xent_quirk", action="store_true",
+                        help="reproduce the reference's channel-shifted xent metric")
     return parser
 
 
@@ -94,6 +98,7 @@ class AnnotationSession:
             model, variables,
             LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn),
             nclasses=self.nclasses, use_pos_embed=args.pos_embed,
+            bn_train_mode=args.bn_train_mode, xent_quirk=args.xent_quirk,
         )
         self.window = None
         self.seq = None
