@@ -277,6 +277,24 @@ def _prop_step_fused(
     return (f2d, labT, t + 1), pred_pad
 
 
+def _validate_cfg(cfg: LabelPropConfig, N: int, grid_hw):
+    """Shared config/geometry validation for the propagation entry points.
+    Returns (radius mask (N, N) jnp.float32, long_mem tuple)."""
+    h, w = grid_hw if grid_hw is not None else (N, 1)
+    assert h * w == N, f"grid {h}x{w} != {N} nodes"
+    if cfg.cxt_size < 1:
+        raise ValueError("cxt_size must be >= 1 (need at least one recent-frame slot)")
+    if cfg.knn < 1:
+        raise ValueError(f"knn must be >= 1, got {cfg.knn}")
+    long_mem = tuple(int(j) for j in cfg.long_mem)
+    if list(long_mem) != sorted(set(long_mem)) or (long_mem and long_mem[0] < 0):
+        raise ValueError(
+            f"long_mem must be strictly increasing non-negative frame "
+            f"indices, got {cfg.long_mem}"
+        )
+    return jnp.asarray(radius_mask(h, w, cfg.radius)), long_mem
+
+
 @partial(
     jax.jit,
     static_argnames=("cfg", "grid_hw", "kernel", "query_block", "vmem_budget"),
@@ -328,19 +346,7 @@ def propagate_labels(
 
     T, N, C = emb.shape
     M = seed_labels.shape[-1]
-    h, w = grid_hw if grid_hw is not None else (N, 1)
-    assert h * w == N, f"grid {h}x{w} != {N} nodes"
-    if cfg.cxt_size < 1:
-        raise ValueError("cxt_size must be >= 1 (need at least one recent-frame slot)")
-    if cfg.knn < 1:
-        raise ValueError(f"knn must be >= 1, got {cfg.knn}")
-    long_mem = tuple(int(j) for j in cfg.long_mem)
-    if list(long_mem) != sorted(set(long_mem)) or (long_mem and long_mem[0] < 0):
-        raise ValueError(
-            f"long_mem must be strictly increasing non-negative frame "
-            f"indices, got {cfg.long_mem}"
-        )
-    mask = jnp.asarray(radius_mask(h, w, cfg.radius))
+    mask, long_mem = _validate_cfg(cfg, N, grid_hw)
 
     L, cxt = len(long_mem), cfg.cxt_size
     K = L + cxt
@@ -490,6 +496,42 @@ def propagate_labels(
     return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "grid_hw", "kernel", "query_block", "vmem_budget"),
+)
+def _propagate_seq_batched(
+    emb, seed_labels, cfg, grid_hw, kernel, query_block, vmem_budget
+):
+    """kernel='pallas_seq' under a radargram batch: the batch-aware
+    whole-sequence kernel (labelprop_pallas.propagate_all_pallas_v2_batched)
+    — grid (B, T-1), one launch for the whole stack, bit-equal per radargram
+    to the unbatched seq kernel (tested)."""
+    from .labelprop_pallas import plan_seq, propagate_all_pallas_v2_batched
+
+    if query_block is not None:
+        raise ValueError(
+            "query_block applies to the XLA path only (the fused kernel "
+            "bounds memory by tiling the context-slot axis instead)"
+        )
+    B, T, N, C = emb.shape
+    mask, long_mem = _validate_cfg(cfg, N, grid_hw)
+    L, cxt = len(long_mem), cfg.cxt_size
+    K = L + cxt
+    knn = min(cfg.knn, K * N)
+    interp = kernel.endswith("interpret")
+    if plan_seq(K, N, C, seed_labels.shape[-1], knn) is None and not interp:
+        raise ValueError(
+            f"seq kernel working set exceeds VMEM for "
+            f"K={K}, N={N}, C={C}, M={seed_labels.shape[-1]}"
+        )
+    soft = propagate_all_pallas_v2_batched(
+        emb, seed_labels, mask, cfg.temperature, knn, long_mem, cxt,
+        interpret=interp,
+    )
+    return soft, jnp.argmax(soft, axis=-1).astype(jnp.int32)
+
+
 def propagate_labels_batched(
     emb, seed_labels, cfg, grid_hw=None, kernel="auto", query_block=None,
     vmem_budget=None, batch_block=None,
@@ -507,21 +549,22 @@ def propagate_labels_batched(
     is padded with the first radargram and its outputs dropped.
     """
     if isinstance(kernel, str) and kernel.startswith("pallas_seq"):
-        # the seq kernel's grid IS the frame axis (pl.program_id(0) = frame);
-        # vmap would prepend the batch as grid dim 0 and silently mis-index
-        # frames. Map sequentially per radargram instead — correct, but the
-        # per-frame kernels are the batched path's parallel option.
-        return jax.lax.map(
-            lambda es: propagate_labels(
-                es[0], es[1], cfg, grid_hw, kernel, query_block, vmem_budget
-            ),
-            (emb, seed_labels),
+        # the seq kernel's grid IS the frame axis; vmap of the unbatched
+        # kernel would prepend the batch as grid dim 0 and silently
+        # mis-index frames. Instead the kernel has a batch-aware variant:
+        # grid (B, T-1), frames innermost, the ring scratch re-initializing
+        # at each radargram's first frame — ONE launch for the whole stack
+        # (or one per batch_block chunk below).
+        def run(e, s):
+            return _propagate_seq_batched(
+                e, s, cfg, grid_hw, kernel, query_block, vmem_budget
+            )
+    else:
+        run = jax.vmap(
+            lambda e, s: propagate_labels(
+                e, s, cfg, grid_hw, kernel, query_block, vmem_budget
+            )
         )
-    run = jax.vmap(
-        lambda e, s: propagate_labels(
-            e, s, cfg, grid_hw, kernel, query_block, vmem_budget
-        )
-    )
     if batch_block is None:
         return run(emb, seed_labels)
     bb = int(batch_block)

@@ -953,6 +953,7 @@ def _prop_seq_v2_kernel(
     cxt: int,
     long_mem: tuple,
     n_real: int,
+    batched: bool = False,
 ):
     """Whole-sequence resident propagation, v2 (VERDICT r3 #3): ONE kernel
     launch per radargram, grid over frames, ring buffer in VMEM scratch —
@@ -966,12 +967,25 @@ def _prop_seq_v2_kernel(
     dynamic_update_slices of the scan path (_prop_step_fused); the ring
     pushes become VMEM scratch writes.
 
+    batched=True: the grid is (B, T-1) — radargrams on grid dim 0, frames
+    INNERMOST so each radargram's frames run in order and the ring scratch
+    re-initializes at its first frame (i == 0). Every per-radargram input
+    block gains a leading batch axis; the per-frame math is unchanged. One
+    launch then covers a whole survey (propagate_all_pallas_v2_batched).
+
     Bit-parity: the pipeline body is shared with the per-frame kernel; the
     slot-validity bias is computed in-kernel from the frame index with
     exactly ops/labelprop.py:_slot_validity's policy (NEG_INVALID on
     not-yet-valid real slots, NEG_PAD on kb-padding slots — matching the
     scan path's precomputed bias columns bit-for-bit)."""
-    i = pl.program_id(0)
+    if batched:
+        i = pl.program_id(1)
+        emb0, seedP = emb0_ref[0], seedP_ref[0]
+        embT, embP = embT_ref[0, 0], embP_ref[0, 0]
+    else:
+        i = pl.program_id(0)
+        emb0, seedP = emb0_ref[:], seedP_ref[:]
+        embT, embP = embT_ref[0], embP_ref[0]
     t = i + 1
     L = len(long_mem)
     kbn = kb * n_rows
@@ -980,15 +994,17 @@ def _prop_seq_v2_kernel(
     def _init():
         # zero rings: garbage feats would make invalid-slot affinities
         # non-finite before the bias add; garbage labels would turn the
-        # exact-0.0 weights of skipped rows into NaN contributions
+        # exact-0.0 weights of skipped rows into NaN contributions. In the
+        # batched grid this re-runs at every radargram's first frame,
+        # resetting the ring between batch items.
         featsS[:] = jnp.zeros((kbn, featsS.shape[1]), jnp.float32)
         labS[:] = jnp.zeros((kbn, labS.shape[1]), jnp.float32)
-        featsS[L * n_rows : (L + 1) * n_rows, :] = emb0_ref[:]
-        labS[L * n_rows : (L + 1) * n_rows, :] = seedP_ref[:]
+        featsS[L * n_rows : (L + 1) * n_rows, :] = emb0
+        labS[L * n_rows : (L + 1) * n_rows, :] = seedP
         for j, fj in enumerate(long_mem):
             if fj == 0:
-                featsS[j * n_rows : (j + 1) * n_rows, :] = emb0_ref[:]
-                labS[j * n_rows : (j + 1) * n_rows, :] = seedP_ref[:]
+                featsS[j * n_rows : (j + 1) * n_rows, :] = emb0
+                labS[j * n_rows : (j + 1) * n_rows, :] = seedP
 
     # per-candidate-row validity bias (ops/labelprop.py:_slot_validity):
     # ring slots valid once written (r < t suffices: r < cxt by layout),
@@ -1012,25 +1028,28 @@ def _prop_seq_v2_kernel(
     ch = _find_divisor(kb, int(os.environ.get("RSCRW_CH", "8")))
     pred = _single_block_pipeline(
         aff, bvals, bidx, gvals, gidx, wvals,
-        featsS, embT_ref[0], mask_ref[:], bias_at, labS, temp_ref[0, 0], ns,
+        featsS, embT, mask_ref[:], bias_at, labS, temp_ref[0, 0], ns,
         knn=knn, n_rows=n_rows, n_lanes=n_lanes, kb=kb, n_real=n_real, ch=ch,
         labels_rowmajor=True,
     )
-    soft_ref[0] = pred
+    if batched:
+        soft_ref[0, 0] = pred
+    else:
+        soft_ref[0] = pred
 
     # push frame t into the ring (same policy as labelprop._push_frame);
     # the label ring is row-major, so the push stores pred TRANSPOSED at a
     # dynamic SUBLANE offset (lane offsets would need 128-alignment)
     slot = L + jnp.mod(t, cxt)
     pred_store = jnp.transpose(pred[:, :n_rows], (1, 0))  # (N_rows, M_pad)
-    featsS[pl.ds(slot * n_rows, n_rows), :] = embP_ref[0]
+    featsS[pl.ds(slot * n_rows, n_rows), :] = embP
     labS[pl.ds(slot * n_rows, n_rows), :] = pred_store
     for j, fj in enumerate(long_mem):
         if fj == 0:
             continue  # pinned at init; the grid starts at t = 1
         @pl.when(t == fj)
         def _pin(j=j):
-            featsS[pl.ds(j * n_rows, n_rows), :] = embP_ref[0]
+            featsS[pl.ds(j * n_rows, n_rows), :] = embP
             labS[pl.ds(j * n_rows, n_rows), :] = pred_store
 
 
@@ -1133,6 +1152,87 @@ def propagate_all_pallas_v2(
     soft_rest = jnp.transpose(soft[:, :M, :N], (0, 2, 1))  # (T-1, N, M)
     return jnp.concatenate(
         [seed_labels.astype(jnp.float32)[None], soft_rest], axis=0
+    )
+
+
+def propagate_all_pallas_v2_batched(
+    emb, seed_labels, radius_mask_nn, temp, knn: int, long_mem: tuple,
+    cxt: int, interpret: bool = False,
+):
+    """Batched whole-sequence resident propagation: ONE kernel launch for a
+    whole stack of radargrams, grid (B, T-1) with frames INNERMOST — each
+    radargram's frames run in order and the VMEM ring scratch re-initializes
+    at its first frame, so the per-frame math (and the VMEM working set,
+    `plan_seq`) is exactly the single-radargram v2 kernel's. This closes the
+    round-4 limitation that `kernel="pallas_seq"` under
+    `propagate_labels_batched` had to fall back to a sequential per-radargram
+    `lax.map` (vmap would have prepended the batch as grid dim 0 of the
+    UNBATCHED kernel and mis-indexed frames — here the kernel itself is
+    batch-aware).
+
+    emb (B, T, N, C) L2-normalized; seed_labels (B, N, M). Returns soft
+    (B, T, N, M) float32 (frame 0 = seed as given), bit-equal per radargram
+    to propagate_all_pallas_v2 (tested)."""
+    B, T, N, C = emb.shape
+    M = seed_labels.shape[-1]
+    if T == 1:
+        return seed_labels.astype(jnp.float32)[:, None]
+    L = len(long_mem)
+    K = L + cxt
+    kb = _round_up(K, SLOT_CHUNK)
+    n_rows = _round_up(N, 8)
+    n_lanes = _round_up(N, 128)
+    c_pad = _round_up(C, 128)
+    m_pad = _round_up(M, 8)
+    knn_pad = _round_up(knn, 8)
+
+    emb = emb.astype(jnp.float32)
+    embT = jnp.zeros((B, T - 1, c_pad, n_lanes), jnp.float32)
+    embT = embT.at[:, :, :C, :N].set(jnp.transpose(emb[:, 1:], (0, 1, 3, 2)))
+    embP = jnp.zeros((B, T - 1, n_rows, c_pad), jnp.float32)
+    embP = embP.at[:, :, :N, :C].set(emb[:, 1:])
+    emb0 = jnp.zeros((B, n_rows, c_pad), jnp.float32).at[:, :N, :C].set(emb[:, 0])
+    seedP = jnp.zeros((B, n_rows, m_pad), jnp.float32)
+    seedP = seedP.at[:, :N, :M].set(seed_labels.astype(jnp.float32))
+    mask = pad_mask(radius_mask_nn, N)
+    temp_arr = jnp.full((1, 1), temp, jnp.float32)
+
+    soft = pl.pallas_call(
+        functools.partial(
+            _prop_seq_v2_kernel, knn=knn, n_rows=n_rows, n_lanes=n_lanes,
+            kb=kb, K=K, cxt=cxt, long_mem=long_mem, n_real=N, batched=True,
+        ),
+        grid=(B, T - 1),
+        out_shape=jax.ShapeDtypeStruct((B, T - 1, m_pad, n_lanes), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
+            pl.BlockSpec((1, 1, c_pad, n_lanes), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, n_rows, c_pad), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, n_rows, c_pad), lambda b, i: (b, 0, 0)),  # emb0
+            pl.BlockSpec((1, n_rows, m_pad), lambda b, i: (b, 0, 0)),  # seedP
+            pl.BlockSpec((n_rows, n_lanes), lambda b, i: (0, 0)),  # mask
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, m_pad, n_lanes), lambda b, i: (b, i, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((kb * n_rows, c_pad), jnp.float32),  # featsS
+            pltpu.VMEM((kb * n_rows, m_pad), jnp.float32),  # labS (row-major)
+            pltpu.VMEM((kb * n_rows, n_lanes), jnp.float32),  # aff
+            pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
+            pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=STEP_VMEM_LIMIT,
+        ),
+        interpret=interpret,
+    )(temp_arr, embT, embP, emb0, seedP, mask)
+    soft_rest = jnp.transpose(soft[:, :, :M, :N], (0, 1, 3, 2))  # (B,T-1,N,M)
+    return jnp.concatenate(
+        [seed_labels.astype(jnp.float32)[:, None], soft_rest], axis=1
     )
 
 

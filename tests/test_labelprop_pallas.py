@@ -359,19 +359,30 @@ def test_plan_seq_decisions():
     assert plan_seq(K=2000, N=512, C=512, M=8, knn=20) is None
 
 
-def test_seq_v2_batched_matches_per_item():
-    """propagate_labels_batched with kernel='pallas_seq' must route around
-    vmap (the kernel's grid IS the frame axis; vmap would prepend the batch
-    as grid dim 0 and silently mis-index frames) — results equal the
-    per-item calls."""
+@pytest.mark.parametrize(
+    "R,T,N,C,M,ctx,lm",
+    [
+        (2, 7, 10, 8, 3, 4, (0,)),  # ring wraps (T > ctx)
+        (3, 6, 9, 8, 3, 8, (0,)),  # prefix never saturates (T < ctx)
+        (2, 9, 12, 8, 4, 4, (0, 2)),  # multi-frame long_mem pins
+    ],
+)
+def test_seq_v2_batched_matches_per_item(R, T, N, C, M, ctx, lm):
+    """propagate_labels_batched with kernel='pallas_seq' runs the
+    batch-aware whole-sequence kernel (grid (B, T-1), frames innermost, the
+    VMEM ring re-initializing at each radargram's first frame) — one launch
+    for the whole stack, BIT-equal to the per-item unbatched seq calls.
+    Covers ring wrap, unsaturated prefixes, and long_mem pins so a
+    ring-reset bug between batch items cannot hide."""
     from radar_sounder_crw_tpu.ops.labelprop import propagate_labels_batched
 
-    R, T, N, C, M = 2, 7, 10, 8, 3
     rng = np.random.default_rng(9)
     emb = rng.standard_normal((R, T, N, C)).astype(np.float32)
     emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
     seeds = np.eye(M, dtype=np.float32)[rng.integers(0, M, (R, N))]
-    cfg = LabelPropConfig(cxt_size=4, radius=3, temperature=0.07, knn=3)
+    cfg = LabelPropConfig(
+        cxt_size=ctx, radius=3, temperature=0.07, knn=3, long_mem=lm
+    )
     s_b, p_b = propagate_labels_batched(
         jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "pallas_seq_interpret"
     )
@@ -382,3 +393,45 @@ def test_seq_v2_batched_matches_per_item():
         )
         np.testing.assert_array_equal(np.asarray(s_b[r]), np.asarray(s_i))
         np.testing.assert_array_equal(np.asarray(p_b[r]), np.asarray(p_i))
+
+
+def test_seq_v2_batched_single_frame_and_guards():
+    from radar_sounder_crw_tpu.ops.labelprop import propagate_labels_batched
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((2, 1, 8, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seeds = np.eye(3, dtype=np.float32)[rng.integers(0, 3, (2, 8))]
+    cfg = LabelPropConfig(cxt_size=3, radius=4, temperature=0.1, knn=2)
+    soft, pred = propagate_labels_batched(
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "pallas_seq_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(soft), seeds[:, None])
+    np.testing.assert_array_equal(np.asarray(pred), seeds.argmax(-1)[:, None])
+    with pytest.raises(ValueError, match="query_block"):
+        propagate_labels_batched(
+            jnp.asarray(emb), jnp.asarray(seeds), cfg, None,
+            "pallas_seq_interpret", query_block=4,
+        )
+
+
+def test_seq_v2_batched_composes_with_batch_block():
+    """batch_block chunks the batch axis of the seq kernel too (one launch
+    per chunk, trailing chunk padded + dropped) — results identical."""
+    from radar_sounder_crw_tpu.ops.labelprop import propagate_labels_batched
+
+    rng = np.random.default_rng(11)
+    R, T, N, C, M = 3, 5, 7, 8, 3
+    emb = rng.standard_normal((R, T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seeds = np.eye(M, dtype=np.float32)[rng.integers(0, M, (R, N))]
+    cfg = LabelPropConfig(cxt_size=3, radius=3, temperature=0.07, knn=3)
+    a = propagate_labels_batched(
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None, "pallas_seq_interpret"
+    )
+    b = propagate_labels_batched(
+        jnp.asarray(emb), jnp.asarray(seeds), cfg, None,
+        "pallas_seq_interpret", batch_block=2,
+    )
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
