@@ -215,6 +215,7 @@ class PropagationPipeline:
         xent_quirk: bool = False,
         pelt_pen: float = 5.0,
         cache_embeddings: bool = True,
+        kernel: str = "auto",
     ):
         # Inference never takes gradients, so the stem must use its EVAL
         # schedule even when bn_train_mode applies batch statistics (that
@@ -235,6 +236,14 @@ class PropagationPipeline:
         self.xent_tau = xent_tau
         self.xent_quirk = xent_quirk
         self.pelt_pen = pelt_pen
+        # propagation kernel (ops/labelprop.propagate_labels `kernel` arg):
+        # 'auto' (default — fused per-frame Pallas step on TPU, XLA
+        # otherwise), 'xla', 'pallas', 'pallas_static', or 'pallas_seq'
+        # (whole-sequence resident kernel; batch-aware under the survey
+        # paths). All selections are output-equal (bit-equal on TPU at every
+        # measured config); the knob exists for benchmarks and deployments
+        # that prefer one launch per radargram stack.
+        self.kernel = kernel
         # reseed() reuses the last __call__'s device-resident embeddings;
         # batch eval loops that never reseed can turn the cache off to avoid
         # pinning ~T*N*C floats of HBM past each call
@@ -275,8 +284,8 @@ class PropagationPipeline:
         compute_sig = detect_change and T >= 4
         soft, pred, xent, sig, emb = _encode_propagate_single(
             self.model, self.variables, seq, jnp.asarray(seed), self.lp_cfg,
-            self.use_pos_embed, self.bn_train_mode, "auto", self.xent_tau,
-            self.xent_quirk, compute_sig,
+            self.use_pos_embed, self.bn_train_mode, self.kernel,
+            self.xent_tau, self.xent_quirk, compute_sig,
         )
 
         # one host fetch for everything this call returns
@@ -374,7 +383,7 @@ class PropagationPipeline:
             cache["emb_ext"][bucket] = emb_ext
         tail_emb = _bucketed_tail(emb_ext, frame_idx, padded)
         _, pred = propagate_labels(
-            tail_emb, jnp.asarray(seed), self.lp_cfg, None, "auto"
+            tail_emb, jnp.asarray(seed), self.lp_cfg, None, self.kernel
         )
         if seed.shape[-1] <= 127:
             pred = pred.astype(jnp.int8)  # small class-map fetch (see above)
@@ -448,7 +457,7 @@ class PropagationPipeline:
         # under vmap measured 7.6x over the vmapped XLA top_k path (v5e)
         pred, sigs, xents = _batched_encode_propagate(
             self.model, self.variables, seqs_d, seeds_d, self.lp_cfg,
-            self.use_pos_embed, self.bn_train_mode, "auto",
+            self.use_pos_embed, self.bn_train_mode, self.kernel,
             self.xent_tau, self.xent_quirk,
             compute_xent=detect_change and T >= 4,
             return_xent=return_xent,
@@ -598,7 +607,7 @@ class PropagationPipeline:
         pred, sigs, xents = _survey_encode_propagate(
             self.model, self.variables, rg_dev, ids_d, seeds_d, geo, T,
             use_last, self.lp_cfg, self.use_pos_embed, self.bn_train_mode,
-            "auto", self.xent_tau, self.xent_quirk,
+            self.kernel, self.xent_tau, self.xent_quirk,
             compute_xent=detect_change and T >= 4,
             return_xent=return_xent,
         )

@@ -85,6 +85,25 @@ def test_pos_embed_values():
     np.testing.assert_array_equal(np.asarray(out[..., 1]), 0.0)
 
 
+def test_pipeline_kernel_selection():
+    """The pipeline's `kernel` knob threads to the propagation op: explicit
+    'xla' matches the default ('auto' resolves to 'xla' on CPU) exactly,
+    and the whole-sequence seq kernel (interpret mode here) produces the
+    same segmentation through the full pipeline, single and batched."""
+    seq, ref = setup_seq()
+    base = make_pipe()(seq, ref)
+    xla = make_pipe(kernel="xla")(seq, ref)
+    np.testing.assert_array_equal(base.prediction, xla.prediction)
+    pseq = make_pipe(kernel="pallas_seq_interpret")(seq, ref)
+    np.testing.assert_array_equal(base.prediction, pseq.prediction)
+    # batched survey path honors the knob too (batch-aware seq kernel)
+    seqs = np.stack([np.asarray(seq)] * 2)
+    refs = [ref, ref]
+    preds = make_pipe(kernel="pallas_seq_interpret").propagate_batch(seqs, refs)
+    np.testing.assert_array_equal(preds[0], base.prediction)
+    np.testing.assert_array_equal(preds[1], base.prediction)
+
+
 def test_2d_grid_propagation():
     """Label propagation on a (h, w) patch grid (not just a column)."""
     rng = np.random.default_rng(0)
