@@ -70,7 +70,7 @@ def encode_sequence(model, variables, seq, use_pos_embed: bool, bn_train_mode: b
 def _batched_body(
     model, variables, seqs, seeds, cfg, use_pos_embed: bool,
     bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
-    compute_xent: bool, return_xent: bool,
+    compute_xent: bool, return_xent: bool, mesh=None,
 ):
     """Shared trace body of the batched survey programs: encode + propagate
     (+ change-point signal, + optionally the full xent maps) over the
@@ -84,7 +84,35 @@ def _batched_body(
     embs = jax.vmap(
         lambda s: encode_sequence(model, variables, s, use_pos_embed, bn_train_mode)
     )(seqs)
-    _, pred = propagate_labels_batched(embs, seeds, cfg, None, kernel)
+    if (
+        kernel.startswith("pallas_seq")
+        and mesh is not None
+        and mesh.devices.size > 1
+    ):
+        # The seq kernel is ONE pallas_call over the whole (B, T-1) grid,
+        # which GSPMD cannot partition along B — left to the partitioner, a
+        # >1-device mesh would all-gather the batch and replicate the full
+        # sequential grid on every device. shard_map instead hands each
+        # device its local batch shard and one independent launch, keeping
+        # the survey paths' no-cross-device-traffic property for this
+        # kernel too (the default per-frame kernels partition fine under
+        # vmap and need no special casing). R is always padded to a
+        # multiple of the mesh size by the callers.
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        pred = jax.shard_map(
+            lambda e, s: propagate_labels_batched(e, s, cfg, None, kernel)[1],
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            # pallas_call out_shapes carry no varying-mesh-axes annotation,
+            # so the vma checker cannot type this body; the out_specs above
+            # state the (only) sharding fact the checker would verify
+            check_vma=False,
+        )(embs, seeds)
+    else:
+        _, pred = propagate_labels_batched(embs, seeds, cfg, None, kernel)
     if seeds.shape[-1] <= 127:
         # int8 class-map fetch (see _encode_propagate_single): the batched
         # (R, T, N) int32 fetch is the survey path's largest host transfer
@@ -102,19 +130,21 @@ def _batched_body(
     jax.jit,
     static_argnames=(
         "model", "use_pos_embed", "bn_train_mode", "cfg", "kernel",
-        "xent_quirk", "compute_xent", "return_xent",
+        "xent_quirk", "compute_xent", "return_xent", "mesh",
     ),
 )
 def _batched_encode_propagate(
     model, variables, seqs, seeds, cfg, use_pos_embed: bool,
     bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
-    compute_xent: bool, return_xent: bool = False,
+    compute_xent: bool, return_xent: bool = False, mesh=None,
 ):
     """ONE device program for full-survey inference over PRE-STAGED window
-    stacks, the radargram axis R sharded over the mesh."""
+    stacks, the radargram axis R sharded over the mesh. `mesh` (static —
+    jax.sharding.Mesh hashes by devices+axes) is only consulted by the
+    pallas_seq shard_map routing in _batched_body."""
     return _batched_body(
         model, variables, seqs, seeds, cfg, use_pos_embed, bn_train_mode,
-        kernel, xent_tau, xent_quirk, compute_xent, return_xent,
+        kernel, xent_tau, xent_quirk, compute_xent, return_xent, mesh,
     )
 
 
@@ -123,13 +153,14 @@ def _batched_encode_propagate(
     static_argnames=(
         "model", "use_pos_embed", "bn_train_mode", "cfg", "kernel",
         "xent_quirk", "compute_xent", "return_xent", "geo", "length",
-        "use_last",
+        "use_last", "mesh",
     ),
 )
 def _survey_encode_propagate(
     model, variables, rg, indices, seeds, geo, length: int, use_last: bool,
     cfg, use_pos_embed: bool, bn_train_mode: bool, kernel: str, xent_tau,
     xent_quirk: bool, compute_xent: bool, return_xent: bool = False,
+    mesh=None,
 ):
     """The DEVICE-RESIDENT survey program: windows are gathered inside the
     jitted program from the once-uploaded radargram (replicated) driven by a
@@ -145,7 +176,7 @@ def _survey_encode_propagate(
         seqs = seqs[:, ::-1]
     return _batched_body(
         model, variables, seqs, seeds, cfg, use_pos_embed, bn_train_mode,
-        kernel, xent_tau, xent_quirk, compute_xent, return_xent,
+        kernel, xent_tau, xent_quirk, compute_xent, return_xent, mesh,
     )
 
 
@@ -460,7 +491,7 @@ class PropagationPipeline:
             self.use_pos_embed, self.bn_train_mode, self.kernel,
             self.xent_tau, self.xent_quirk,
             compute_xent=detect_change and T >= 4,
-            return_xent=return_xent,
+            return_xent=return_xent, mesh=mesh,
         )
         return self._fetch_batched(pred, sigs, xents, real, detect_change, return_xent)
 
@@ -609,7 +640,7 @@ class PropagationPipeline:
             use_last, self.lp_cfg, self.use_pos_embed, self.bn_train_mode,
             self.kernel, self.xent_tau, self.xent_quirk,
             compute_xent=detect_change and T >= 4,
-            return_xent=return_xent,
+            return_xent=return_xent, mesh=mesh,
         )
         return self._fetch_batched(pred, sigs, xents, real, detect_change, return_xent)
 

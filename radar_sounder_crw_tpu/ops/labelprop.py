@@ -549,6 +549,10 @@ def propagate_labels_batched(
     is padded with the first radargram and its outputs dropped.
     """
     if isinstance(kernel, str) and kernel.startswith("pallas_seq"):
+        if kernel not in ("pallas_seq", "pallas_seq_interpret"):
+            # same whitelist the unbatched entry enforces — without it a
+            # typo'd interpret suffix would silently run the compiled kernel
+            raise ValueError(f"unknown kernel {kernel!r}")
         # the seq kernel's grid IS the frame axis; vmap of the unbatched
         # kernel would prepend the batch as grid dim 0 and silently
         # mis-index frames. Instead the kernel has a batch-aware variant:

@@ -413,6 +413,14 @@ def test_seq_v2_batched_single_frame_and_guards():
             jnp.asarray(emb), jnp.asarray(seeds), cfg, None,
             "pallas_seq_interpret", query_block=4,
         )
+    # the batched dispatch enforces the same kernel-name whitelist as the
+    # unbatched entry — a typo'd interpret suffix must NOT silently run the
+    # compiled kernel
+    with pytest.raises(ValueError, match="unknown kernel"):
+        propagate_labels_batched(
+            jnp.asarray(emb), jnp.asarray(seeds), cfg, None,
+            "pallas_seq_interpet",
+        )
 
 
 def test_seq_v2_batched_composes_with_batch_block():

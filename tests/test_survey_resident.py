@@ -110,6 +110,30 @@ def test_survey_matches_sequential_r11_8dev(single_rg):
         np.testing.assert_array_equal(got[k], res.prediction, err_msg=f"rg {k}")
 
 
+def test_survey_seq_kernel_shard_mapped_8dev(single_rg):
+    """kernel='pallas_seq' under a >1-device mesh: the batched seq kernel is
+    ONE pallas_call over grid (B, T-1), which GSPMD cannot partition along
+    B — left to the partitioner it would all-gather the batch and replicate
+    the whole sequential grid on every device. The survey paths shard_map it
+    instead, each device launching over its local batch shard. 8-device ==
+    1-device bit-for-bit (same kernel, interpret mode on the CPU mesh), on
+    both the resident and the host-staged batched paths."""
+    ds, _, ids, refs = single_rg
+    assert jax.device_count() >= 8
+    from radar_sounder_crw_tpu.parallel import make_mesh
+
+    pipe_seq = _make_pipe(kernel="pallas_seq_interpret")
+    mesh1 = make_mesh(jax.devices()[:1])
+    base, ch_base = pipe_seq.propagate_survey(
+        ds, ids, refs, mesh=mesh1, detect_change=True
+    )
+    got, ch_got = pipe_seq.propagate_survey(ds, ids, refs, detect_change=True)
+    np.testing.assert_array_equal(base, got)
+    assert ch_base == ch_got
+    seqs = np.stack([ds[i] for i in ids])
+    np.testing.assert_array_equal(base, pipe_seq.propagate_batch(seqs, refs))
+
+
 def test_survey_stacked_multi_radargram_matches_sequential():
     """ConcatWindows source (the qualitative scripts' QualitativeSurvey
     layout): radargrams of DIFFERENT widths sharing one window shape, each a
