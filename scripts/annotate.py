@@ -67,6 +67,11 @@ def get_args_parser():
                         help="BatchNorm batch stats at inference (the reference's de-facto behavior)")
     parser.add_argument("--xent_quirk", action="store_true",
                         help="reproduce the reference's channel-shifted xent metric")
+    parser.add_argument("--kernel", default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_static",
+                                 "pallas_seq"],
+                        help="propagation kernel selection (framework "
+                             "extension; all choices are output-equal)")
     return parser
 
 
@@ -98,7 +103,7 @@ class AnnotationSession:
             model, variables,
             LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn),
             nclasses=self.nclasses, use_pos_embed=args.pos_embed,
-            bn_train_mode=args.bn_train_mode, xent_quirk=args.xent_quirk,
+            bn_train_mode=args.bn_train_mode, xent_quirk=args.xent_quirk, kernel=args.kernel,
         )
         self.window = None
         self.seq = None

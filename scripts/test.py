@@ -33,6 +33,11 @@ def get_args_parser():
                         help="BatchNorm batch stats at inference (the reference's de-facto behavior)")
     parser.add_argument("--xent_quirk", action="store_true",
                         help="reproduce the reference's channel-shifted xent metric")
+    parser.add_argument("--kernel", default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_static",
+                                 "pallas_seq"],
+                        help="propagation kernel selection (framework "
+                             "extension; all choices are output-equal)")
     return parser
 
 
@@ -70,7 +75,7 @@ def main(args):
         nclasses=nclasses,
         use_pos_embed=args.pos_embed,
         bn_train_mode=args.bn_train_mode,
-        xent_quirk=args.xent_quirk,
+        xent_quirk=args.xent_quirk, kernel=args.kernel,
     )
 
     ensure_dirs(os.path.dirname(args.output_folder.rstrip("/")) or ".")

@@ -52,6 +52,11 @@ def get_args_parser():
                         "(the mc1/mc3/sharad-style intended semantics) instead "
                         "of the reference test_all behavior of re-propagating "
                         "the HEAD window with a tail seed")
+    parser.add_argument("--kernel", default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_static",
+                                 "pallas_seq"],
+                        help="propagation kernel selection (framework "
+                             "extension; all choices are output-equal)")
     return parser
 
 
@@ -95,7 +100,7 @@ def main(args):
     lp_cfg = LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn)
     pipe = PropagationPipeline(
         model, variables, lp_cfg, nclasses=nclasses, use_pos_embed=args.pos_embed,
-        bn_train_mode=args.bn_train_mode, xent_quirk=args.xent_quirk,
+        bn_train_mode=args.bn_train_mode, xent_quirk=args.xent_quirk, kernel=args.kernel,
         cache_embeddings=False,  # batch eval never reseeds; don't pin HBM
     )
 

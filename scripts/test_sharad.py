@@ -42,6 +42,11 @@ def get_args_parser():
                         help="propagate all radargrams in one sharded device "
                         "program per pass (corrections bucketed by tail "
                         "length) instead of a per-radargram loop")
+    parser.add_argument("--kernel", default="auto",
+                        choices=["auto", "xla", "pallas", "pallas_static",
+                                 "pallas_seq"],
+                        help="propagation kernel selection (framework "
+                             "extension; all choices are output-equal)")
     return parser
 
 
@@ -80,7 +85,7 @@ def main(args):
         model, variables,
         LabelPropConfig(args.cxt_size, args.radius, args.temp, args.knn),
         nclasses=nclasses, bn_train_mode=args.bn_train_mode,
-        xent_quirk=args.xent_quirk,
+        xent_quirk=args.xent_quirk, kernel=args.kernel,
     )
     ensure_dirs(args.output_folder)
 

@@ -44,13 +44,17 @@ def run_script(script, args, tmp_path, data_root=None, timeout=560,
     return proc
 
 
-def test_test_cli_smoke(tmp_path):
+@pytest.mark.parametrize("kernel", ["auto", "xla"])
+def test_test_cli_smoke(tmp_path, kernel):
+    # --kernel is the CLIs' propagation-kernel knob (framework extension);
+    # 'auto' covers the default resolution, 'xla' the explicit selection
+    # (the pallas choices are TPU-only and covered by the kernel suites)
     out = str(tmp_path / "out")
     proc = run_script(
         "test.py",
         ["--model", "0", "--dataset", "3", "--patch_size", "16", "16",
          "--overlap", "0", "0", "--seq_length", "6", "-c", "6", "-r", "8",
-         "-t", "0.05", "-k", "5", "--allow_untrained",
+         "-t", "0.05", "-k", "5", "--allow_untrained", "--kernel", kernel,
          "--output_folder", out],
         tmp_path,
     )
