@@ -67,6 +67,39 @@ def encode_sequence(model, variables, seq, use_pos_embed: bool, bn_train_mode: b
     return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
 
 
+def _resolve_batched_kernel(
+    kernel: str, n_local: int, T: int, N: int, C: int, M: int,
+    cfg, backend: str | None = None,
+) -> str:
+    """Resolve kernel='auto' for the BATCHED survey programs.
+
+    On TPU, when the whole-sequence kernel's lane packing engages for the
+    per-device local batch (seq_autopack >= 2 — requires round_up(N,8) to
+    fit a 64-lane half-span, i.e. N <= 64), 'auto' resolves to 'pallas_seq':
+    at those shapes the per-frame kernels' extraction/W passes sweep 128
+    VPU lanes mostly over padding, while the packed seq kernel fills them
+    with real items. Measured on v5e (N=50, C=128, cxt=100, knn=20,
+    honest final-fetch timing): 188.5 -> 119.5 ms at R=63, 26.8 -> 17.1 at
+    R=8, 9.9 -> 6.2 at R=2 — bit-equal outputs (BASELINE.md r4). Wider
+    shapes (SHARAD N=113, MC3 N=190) cannot pack and keep the per-frame
+    default; unpacked seq is only at parity with it, so no flip there.
+
+    Pure shape math so tests can drive it with an explicit `backend`; the
+    trace-time caller (_batched_body) lets it read jax.default_backend().
+    """
+    if kernel != "auto" or T < 2:
+        return kernel
+    if (jax.default_backend() if backend is None else backend) != "tpu":
+        return kernel
+    from ..ops.labelprop_pallas import seq_autopack
+
+    K = len(cfg.long_mem) + cfg.cxt_size
+    knn = min(cfg.knn, K * N)
+    if seq_autopack(n_local, N, C, M, K, knn) >= 2:
+        return "pallas_seq"
+    return kernel
+
+
 def _batched_body(
     model, variables, seqs, seeds, cfg, use_pos_embed: bool,
     bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
@@ -84,6 +117,11 @@ def _batched_body(
     embs = jax.vmap(
         lambda s: encode_sequence(model, variables, s, use_pos_embed, bn_train_mode)
     )(seqs)
+    R, T, N, C = embs.shape
+    n_dev = mesh.devices.size if mesh is not None else 1
+    kernel = _resolve_batched_kernel(
+        kernel, R // n_dev, T, N, C, seeds.shape[-1], cfg
+    )
     if (
         kernel.startswith("pallas_seq")
         and mesh is not None
@@ -269,11 +307,14 @@ class PropagationPipeline:
         self.pelt_pen = pelt_pen
         # propagation kernel (ops/labelprop.propagate_labels `kernel` arg):
         # 'auto' (default — fused per-frame Pallas step on TPU, XLA
-        # otherwise), 'xla', 'pallas', 'pallas_static', or 'pallas_seq'
-        # (whole-sequence resident kernel; batch-aware under the survey
-        # paths). All selections are output-equal (bit-equal on TPU at every
-        # measured config); the knob exists for benchmarks and deployments
-        # that prefer one launch per radargram stack.
+        # otherwise; under the BATCHED survey programs 'auto' upgrades to
+        # the lane-packed whole-sequence kernel when packing engages for
+        # the per-device batch — N <= 64 shapes, 1.6x at the Miguel survey,
+        # see _resolve_batched_kernel), 'xla', 'pallas', 'pallas_static',
+        # or 'pallas_seq' (whole-sequence resident kernel; batch-aware
+        # under the survey paths). All selections are output-equal
+        # (bit-equal on TPU at every measured config); the knob exists for
+        # benchmarks and deployments that prefer one launch per stack.
         self.kernel = kernel
         # reseed() reuses the last __call__'s device-resident embeddings;
         # batch eval loops that never reseed can turn the cache off to avoid

@@ -286,7 +286,7 @@ def _single_block_pipeline(
     feats_ref, q, mask, bias_at, labels_ref, temp,
     ns,  # traced valid-slot count, ALREADY clipped to [min_slots, kb]
     *, knn: int, n_rows: int, n_lanes: int, kb: int, n_real: int, ch: int,
-    labels_rowmajor: bool = False,
+    labels_rowmajor: bool = False, lane_span: int | None = None,
 ):
     """One single-block dynamic-valid-prefix propagation frame, shared by
     the per-frame step kernel and the whole-sequence resident kernel (v2):
@@ -313,7 +313,12 @@ def _single_block_pipeline(
     Mosaic only allows dynamic offsets on the SUBLANE axis (lane offsets
     must be provably 128-aligned; the slot pitch n_rows is 8-aligned only),
     so its ring keeps candidate rows on sublanes. The matmul contracts the
-    same candidate axis either way."""
+    same candidate axis either way.
+
+    lane_span: the per-item query span when several batch items ride the
+    lane axis (the packed batched seq kernel, see _prop_seq_v2_kernel
+    `packs`): real query columns are [p*lane_span, p*lane_span + n_real)
+    per item p. None (default) = the whole lane axis is one item's."""
     kbn = kb * n_rows
 
     def mchunk(c, g):
@@ -451,9 +456,10 @@ def _single_block_pipeline(
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (M_pad, n_lanes)
-    if n_real < n_lanes:
+    span = n_lanes if lane_span is None else lane_span
+    if n_real < span:
         cols = jax.lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
-        contrib = jnp.where(cols < n_real, contrib, 0.0)
+        contrib = jnp.where(cols % span < n_real, contrib, 0.0)
     return contrib
 
 
@@ -953,6 +959,7 @@ def _prop_seq_v2_kernel(
     cxt: int,
     long_mem: tuple,
     n_real: int,
+    packs: int = 1,
 ):
     """Whole-sequence resident propagation, v2 (VERDICT r3 #3): ONE kernel
     launch per radargram stack, grid over frames, ring buffer in VMEM scratch —
@@ -970,6 +977,18 @@ def _prop_seq_v2_kernel(
     each radargram's frames run in order and the ring scratch re-initializes
     at its first frame (i == 0); B=1 is the single-radargram case
     (propagate_all_pallas_v2 delegates there).
+
+    packs > 1: LANE-PACKED batch items. When N <= n_lanes/packs, a single
+    grid step carries `packs` radargrams side by side on the LANE axis —
+    item p's query columns at [p*n_lanes/packs, ...), its features on the
+    feature axis at [p*c_pad, ...) (the affinity matmul is block-diagonal:
+    the rhs query matrix zeroes the off-item feature rows, so cross-item
+    products are exactly 0.0), its labels at [p*m_pad, ...) of the label
+    ring. The extraction/W passes — the dominant cost at small N, where
+    (packs-1)/packs of the 128 VPU lanes would otherwise process padding —
+    then serve all `packs` items in one sweep. Per-item math is unchanged;
+    the only pack-aware code is the per-item output zeroing span and this
+    push's per-item slicing.
 
     Bit-parity: the pipeline body is shared with the per-frame kernel; the
     slot-validity bias is computed in-kernel from the frame index with
@@ -1024,6 +1043,7 @@ def _prop_seq_v2_kernel(
         featsS, embT, mask_ref[:], bias_at, labS, temp_ref[0, 0], ns,
         knn=knn, n_rows=n_rows, n_lanes=n_lanes, kb=kb, n_real=n_real, ch=ch,
         labels_rowmajor=True,
+        lane_span=None if packs == 1 else n_lanes // packs,
     )
     soft_ref[0, 0] = pred
 
@@ -1031,7 +1051,26 @@ def _prop_seq_v2_kernel(
     # the label ring is row-major, so the push stores pred TRANSPOSED at a
     # dynamic SUBLANE offset (lane offsets would need 128-alignment)
     slot = L + jnp.mod(t, cxt)
-    pred_store = jnp.transpose(pred[:, :n_rows], (1, 0))  # (N_rows, M_pad)
+    if packs == 1:
+        pred_store = jnp.transpose(pred[:, :n_rows], (1, 0))  # (N_rows, M_pad)
+    else:
+        # per-item slices: item p's soft labels live at rows [p*m_item, ...)
+        # x lanes [p*span, p*span + n_rows) of the packed prediction
+        span = n_lanes // packs
+        m_item = labS.shape[1] // packs
+        pred_store = jnp.concatenate(
+            [
+                jnp.transpose(
+                    pred[
+                        p * m_item : (p + 1) * m_item,
+                        p * span : p * span + n_rows,
+                    ],
+                    (1, 0),
+                )
+                for p in range(packs)
+            ],
+            axis=1,
+        )  # (N_rows, packs*M_item)
     featsS[pl.ds(slot * n_rows, n_rows), :] = embP
     labS[pl.ds(slot * n_rows, n_rows), :] = pred_store
     for j, fj in enumerate(long_mem):
@@ -1095,9 +1134,31 @@ def propagate_all_pallas_v2(
     )[0]
 
 
+def seq_autopack(B: int, N: int, C: int, M: int, K: int, knn: int) -> int:
+    """The lane-pack factor `propagate_all_pallas_v2_batched`'s
+    `packs=None` auto policy selects for this shape: the largest of 4/2
+    whose per-item lane span round_up(N,128)//p still holds the
+    round_up(N,8) query rows AND whose packed working set `plan_seq`
+    accepts, else 1 (unpacked). Pure shape math — callers (the survey
+    dispatch in infer/propagate.py) use it to predict whether packing
+    engages before choosing a kernel."""
+    n_rows = _round_up(N, 8)
+    n_lanes = _round_up(N, 128)
+    c_pad = _round_up(C, 128)
+    m_pad = _round_up(M, 8)
+    for p in (4, 2):
+        if (
+            B >= 2
+            and n_rows <= n_lanes // p
+            and plan_seq(K, N, p * c_pad, p * m_pad, knn) is not None
+        ):
+            return p
+    return 1
+
+
 def propagate_all_pallas_v2_batched(
     emb, seed_labels, radius_mask_nn, temp, knn: int, long_mem: tuple,
-    cxt: int, interpret: bool = False,
+    cxt: int, interpret: bool = False, packs: int | None = None,
 ):
     """Batched whole-sequence resident propagation: ONE kernel launch for a
     whole stack of radargrams, grid (B, T-1) with frames INNERMOST — each
@@ -1109,6 +1170,19 @@ def propagate_all_pallas_v2_batched(
     `lax.map` (vmap would have prepended the batch as grid dim 0 of the
     UNBATCHED kernel and mis-indexed frames — here the kernel itself is
     batch-aware).
+
+    packs: lane-pack `packs` radargrams per grid step (see
+    _prop_seq_v2_kernel). At small N the extraction/W passes — the dominant
+    per-frame cost — sweep 128 lanes regardless of N, so (packs-1)/packs of
+    the VPU work serves padding; packing fills the lanes with real items
+    (grid (ceil(B/packs), T-1)). None = auto: the largest of 4/2 whose
+    per-item lane span fits N and whose working set `plan_seq` accepts,
+    else 1. A trailing partial pack is padded with item 0 and dropped.
+    Measured (v5e, survey shape R=63 x T=100, N=50, C=128, cxt=100,
+    knn=20, honest final-fetch timing): packs=2 cuts the whole-stack
+    launch 194.9 -> 119.0 ms (1.64x) vs the unpacked seq kernel, and
+    beats the per-frame batched path's 188.5 ms by 1.58x — bit-equal
+    outputs on hardware at packs 1/2/auto (BASELINE.md r4).
 
     emb (B, T, N, C) L2-normalized; seed_labels (B, N, M). Returns soft
     (B, T, N, M) float32 (frame 0 = seed as given), bit-equal per radargram
@@ -1126,38 +1200,92 @@ def propagate_all_pallas_v2_batched(
     m_pad = _round_up(M, 8)
     knn_pad = _round_up(knn, 8)
 
+    if packs is None:  # auto: fill the lane axis with real items
+        packs = seq_autopack(B, N, C, M, K, knn)
+    if packs > 1 and (n_rows > n_lanes // packs or n_lanes % packs):
+        raise ValueError(
+            f"packs={packs} needs n_rows={n_rows} lane-span slots "
+            f"(n_lanes={n_lanes})"
+        )
+
     emb = emb.astype(jnp.float32)
-    embT = jnp.zeros((B, T - 1, c_pad, n_lanes), jnp.float32)
-    embT = embT.at[:, :, :C, :N].set(jnp.transpose(emb[:, 1:], (0, 1, 3, 2)))
-    embP = jnp.zeros((B, T - 1, n_rows, c_pad), jnp.float32)
-    embP = embP.at[:, :, :N, :C].set(emb[:, 1:])
-    emb0 = jnp.zeros((B, n_rows, c_pad), jnp.float32).at[:, :N, :C].set(emb[:, 0])
-    seedP = jnp.zeros((B, n_rows, m_pad), jnp.float32)
-    seedP = seedP.at[:, :N, :M].set(seed_labels.astype(jnp.float32))
-    mask = pad_mask(radius_mask_nn, N)
+    seed_labels = seed_labels.astype(jnp.float32)
+    if packs > 1:
+        pad = (-B) % packs
+        if pad:
+            emb = jnp.concatenate(
+                [emb, jnp.broadcast_to(emb[:1], (pad, *emb.shape[1:]))]
+            )
+            seed_labels = jnp.concatenate(
+                [
+                    seed_labels,
+                    jnp.broadcast_to(
+                        seed_labels[:1], (pad, *seed_labels.shape[1:])
+                    ),
+                ]
+            )
+        Bp = emb.shape[0] // packs
+        span = n_lanes // packs
+        e2 = emb.reshape(Bp, packs, T, N, C)
+        s2 = seed_labels.reshape(Bp, packs, N, M)
+        c_tot, m_tot = packs * c_pad, packs * m_pad
+        embT = jnp.zeros((Bp, T - 1, c_tot, n_lanes), jnp.float32)
+        embP = jnp.zeros((Bp, T - 1, n_rows, c_tot), jnp.float32)
+        emb0 = jnp.zeros((Bp, n_rows, c_tot), jnp.float32)
+        seedP = jnp.zeros((Bp, n_rows, m_tot), jnp.float32)
+        mask = jnp.full((n_rows, n_lanes), NEG_PAD, jnp.float32)
+        mask = mask.at[:N, :].set(0.0)
+        for p in range(packs):
+            # item p: queries at lanes [p*span, ...), features at
+            # [p*c_pad, ...), labels at [p*m_pad, ...) — the block-diagonal
+            # layout the packed kernel expects
+            embT = embT.at[
+                :, :, p * c_pad : p * c_pad + C, p * span : p * span + N
+            ].set(jnp.transpose(e2[:, p, 1:], (0, 1, 3, 2)))
+            embP = embP.at[:, :, :N, p * c_pad : p * c_pad + C].set(
+                e2[:, p, 1:]
+            )
+            emb0 = emb0.at[:, :N, p * c_pad : p * c_pad + C].set(e2[:, p, 0])
+            seedP = seedP.at[:, :N, p * m_pad : p * m_pad + M].set(s2[:, p])
+            mask = mask.at[:N, p * span : p * span + N].set(radius_mask_nn)
+        grid_b, c_k, m_k = Bp, c_tot, m_tot
+    else:
+        embT = jnp.zeros((B, T - 1, c_pad, n_lanes), jnp.float32)
+        embT = embT.at[:, :, :C, :N].set(jnp.transpose(emb[:, 1:], (0, 1, 3, 2)))
+        embP = jnp.zeros((B, T - 1, n_rows, c_pad), jnp.float32)
+        embP = embP.at[:, :, :N, :C].set(emb[:, 1:])
+        emb0 = jnp.zeros((B, n_rows, c_pad), jnp.float32).at[:, :N, :C].set(
+            emb[:, 0]
+        )
+        seedP = jnp.zeros((B, n_rows, m_pad), jnp.float32)
+        seedP = seedP.at[:, :N, :M].set(seed_labels)
+        mask = pad_mask(radius_mask_nn, N)
+        grid_b, c_k, m_k = B, c_pad, m_pad
     temp_arr = jnp.full((1, 1), temp, jnp.float32)
 
     soft = pl.pallas_call(
         functools.partial(
             _prop_seq_v2_kernel, knn=knn, n_rows=n_rows, n_lanes=n_lanes,
-            kb=kb, K=K, cxt=cxt, long_mem=long_mem, n_real=N,
+            kb=kb, K=K, cxt=cxt, long_mem=long_mem, n_real=N, packs=packs,
         ),
-        grid=(B, T - 1),
-        out_shape=jax.ShapeDtypeStruct((B, T - 1, m_pad, n_lanes), jnp.float32),
+        grid=(grid_b, T - 1),
+        out_shape=jax.ShapeDtypeStruct(
+            (grid_b, T - 1, m_k, n_lanes), jnp.float32
+        ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # temp
-            pl.BlockSpec((1, 1, c_pad, n_lanes), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, 1, n_rows, c_pad), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, n_rows, c_pad), lambda b, i: (b, 0, 0)),  # emb0
-            pl.BlockSpec((1, n_rows, m_pad), lambda b, i: (b, 0, 0)),  # seedP
+            pl.BlockSpec((1, 1, c_k, n_lanes), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 1, n_rows, c_k), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, n_rows, c_k), lambda b, i: (b, 0, 0)),  # emb0
+            pl.BlockSpec((1, n_rows, m_k), lambda b, i: (b, 0, 0)),  # seedP
             pl.BlockSpec((n_rows, n_lanes), lambda b, i: (0, 0)),  # mask
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, m_pad, n_lanes), lambda b, i: (b, i, 0, 0)
+            (1, 1, m_k, n_lanes), lambda b, i: (b, i, 0, 0)
         ),
         scratch_shapes=[
-            pltpu.VMEM((kb * n_rows, c_pad), jnp.float32),  # featsS
-            pltpu.VMEM((kb * n_rows, m_pad), jnp.float32),  # labS (row-major)
+            pltpu.VMEM((kb * n_rows, c_k), jnp.float32),  # featsS
+            pltpu.VMEM((kb * n_rows, m_k), jnp.float32),  # labS (row-major)
             pltpu.VMEM((kb * n_rows, n_lanes), jnp.float32),  # aff
             pltpu.VMEM((knn_pad, n_lanes), jnp.float32),
             pltpu.VMEM((knn_pad, n_lanes), jnp.int32),
@@ -1170,10 +1298,23 @@ def propagate_all_pallas_v2_batched(
         ),
         interpret=interpret,
     )(temp_arr, embT, embP, emb0, seedP, mask)
-    soft_rest = jnp.transpose(soft[:, :, :M, :N], (0, 1, 3, 2))  # (B,T-1,N,M)
-    return jnp.concatenate(
-        [seed_labels.astype(jnp.float32)[:, None], soft_rest], axis=1
-    )
+    if packs > 1:
+        span = n_lanes // packs
+        parts = [
+            jnp.transpose(
+                soft[:, :, p * m_pad : p * m_pad + M, p * span : p * span + N],
+                (0, 1, 3, 2),
+            )
+            for p in range(packs)
+        ]
+        soft_rest = jnp.stack(parts, axis=1).reshape(
+            grid_b * packs, T - 1, N, M
+        )[:B]
+        seeds_b = seed_labels[:B]
+    else:
+        soft_rest = jnp.transpose(soft[:, :, :M, :N], (0, 1, 3, 2))
+        seeds_b = seed_labels
+    return jnp.concatenate([seeds_b[:, None], soft_rest], axis=1)
 
 
 def _prop_all_kernel(

@@ -443,3 +443,77 @@ def test_seq_v2_batched_composes_with_batch_block():
     )
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+@pytest.mark.parametrize(
+    "R,T,N,C,M,ctx,lm",
+    [
+        (5, 7, 10, 8, 3, 4, (0,)),  # uneven for both packs=2 and 4
+        (3, 6, 9, 8, 3, 8, (0,)),  # unsaturated prefix, uneven for packs=2
+        (4, 9, 12, 8, 4, 4, (0, 2)),  # multi-frame long_mem pins
+    ],
+)
+def test_seq_v2_batched_lane_packing(R, T, N, C, M, ctx, lm):
+    """Lane-packed batched seq kernel: `packs` radargrams side by side on
+    the lane axis of ONE grid step (block-diagonal affinity — item p's
+    features at [p*c_pad,...) zero every cross-item product), grid
+    (ceil(B/packs), T-1). Forced packs in {2, 4} and the auto policy must
+    all be BIT-equal to the unpacked kernel, including when B % packs != 0
+    (trailing pack padded with item 0 and dropped)."""
+    from radar_sounder_crw_tpu.ops.labelprop_pallas import (
+        propagate_all_pallas_v2_batched,
+    )
+
+    rng = np.random.default_rng(13)
+    emb = rng.standard_normal((R, T, N, C)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seeds = np.eye(M, dtype=np.float32)[rng.integers(0, M, (R, N))]
+    mask = np.zeros((N, N), np.float32)
+    outs = {}
+    for packs in (1, 2, 4, None):
+        outs[packs] = np.asarray(
+            propagate_all_pallas_v2_batched(
+                jnp.asarray(emb), jnp.asarray(seeds), jnp.asarray(mask),
+                0.07, 3, lm, ctx, interpret=True, packs=packs,
+            )
+        )
+    assert outs[1].shape == (R, T, N, M)
+    for packs in (2, 4, None):
+        np.testing.assert_array_equal(outs[packs], outs[1])
+
+
+def test_seq_autopack_policy():
+    """The auto pack factor: largest of 4/2 whose lane span holds the query
+    rows and whose packed working set plan_seq accepts; 1 for B < 2 or
+    N too wide (the MC3/SHARAD survey shapes stay unpacked)."""
+    from radar_sounder_crw_tpu.ops.labelprop_pallas import seq_autopack
+
+    # Miguel survey shape: n_rows=56 fits a 64-lane half-span -> packs=2
+    assert seq_autopack(63, 50, 128, 6, 101, 20) == 2
+    # tiny N: n_rows=16 fits a 32-lane quarter-span -> packs=4
+    assert seq_autopack(8, 10, 8, 3, 5, 3) == 4
+    # single radargram cannot pack
+    assert seq_autopack(1, 50, 128, 6, 101, 20) == 1
+    # MC3 (N=190) and SHARAD (N=113) rows exceed every packed span
+    assert seq_autopack(63, 190, 128, 6, 101, 20) == 1
+    assert seq_autopack(63, 113, 128, 6, 101, 20) == 1
+
+
+def test_seq_v2_batched_packing_guard():
+    """A pack factor whose per-item lane span cannot hold the query rows is
+    a hard error, not a silent mis-index."""
+    from radar_sounder_crw_tpu.ops.labelprop_pallas import (
+        propagate_all_pallas_v2_batched,
+    )
+
+    rng = np.random.default_rng(7)
+    N = 80  # n_rows = 80 > 128/2 = 64 per-item lanes
+    emb = rng.standard_normal((2, 3, N, 8)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    seeds = np.eye(3, dtype=np.float32)[rng.integers(0, 3, (2, N))]
+    mask = np.zeros((N, N), np.float32)
+    with pytest.raises(ValueError, match="packs=2"):
+        propagate_all_pallas_v2_batched(
+            jnp.asarray(emb), jnp.asarray(seeds), jnp.asarray(mask),
+            0.07, 3, (0,), 3, interpret=True, packs=2,
+        )

@@ -247,6 +247,50 @@ def test_survey_stacked_offset_respects_segment_widths():
     assert out.shape == (1, geo.nh, 4)
 
 
+def test_resolve_batched_kernel_policy():
+    """'auto' under the batched survey programs upgrades to the lane-packed
+    whole-sequence kernel exactly when packing engages for the per-device
+    local batch (TPU, N <= 64, local B >= 2) — measured 1.6x at the Miguel
+    survey shape; wider shapes and explicit kernels are untouched."""
+    from radar_sounder_crw_tpu.infer.propagate import _resolve_batched_kernel
+
+    cfg = LabelPropConfig(
+        cxt_size=100, radius=64, temperature=0.07, knn=20, long_mem=(0,)
+    )
+    # Miguel survey shape on TPU: packs=2 engages -> seq kernel
+    r = _resolve_batched_kernel("auto", 63, 100, 50, 128, 6, cfg, backend="tpu")
+    assert r == "pallas_seq"
+    # local batch of 1 (one radargram per device) cannot pack
+    assert (
+        _resolve_batched_kernel("auto", 1, 100, 50, 128, 6, cfg, backend="tpu")
+        == "auto"
+    )
+    # SHARAD/MC3 widths exceed the packed lane span
+    for n in (113, 190):
+        assert (
+            _resolve_batched_kernel(
+                "auto", 63, 100, n, 128, 6, cfg, backend="tpu"
+            )
+            == "auto"
+        )
+    # non-TPU backends and explicit kernels pass through unchanged
+    assert (
+        _resolve_batched_kernel("auto", 63, 100, 50, 128, 6, cfg, backend="cpu")
+        == "auto"
+    )
+    assert (
+        _resolve_batched_kernel(
+            "pallas", 63, 100, 50, 128, 6, cfg, backend="tpu"
+        )
+        == "pallas"
+    )
+    # T=1 surveys never propagate — nothing to flip
+    assert (
+        _resolve_batched_kernel("auto", 63, 1, 50, 128, 6, cfg, backend="tpu")
+        == "auto"
+    )
+
+
 def test_pipeline_pins_eval_stem_for_auto_models():
     """bn_train_mode=True applies the flax train switch at inference; the
     pipeline must still use the EVAL stem schedule (auto s2d is a training
