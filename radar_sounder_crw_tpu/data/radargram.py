@@ -48,7 +48,21 @@ def load_radargram(filepath: str) -> np.ndarray:
                     f"{filepath}: the torch-free .pt reader failed ({e}) and "
                     f"torch is not installed to fall back on"
                 ) from e
-            t = torch.load(filepath, map_location="cpu", weights_only=False)
+            # weights_only=True keeps torch's own restricted unpickler in
+            # the loop; full unpickling (arbitrary code execution on a
+            # crafted file) requires an explicit opt-in, otherwise a file
+            # built to trip the restricted reader would silently get it.
+            try:
+                t = torch.load(filepath, map_location="cpu", weights_only=True)
+            except Exception:
+                if os.environ.get("RSCRW_ALLOW_UNSAFE_PT") != "1":
+                    raise ValueError(
+                        f"{filepath}: both the torch-free reader ({e}) and "
+                        f"torch.load(weights_only=True) refused this file; "
+                        f"set RSCRW_ALLOW_UNSAFE_PT=1 to permit full "
+                        f"unpickling of a TRUSTED file"
+                    ) from e
+                t = torch.load(filepath, map_location="cpu", weights_only=False)
             t = t.float().numpy()
         if not isinstance(t, np.ndarray):
             raise ValueError(

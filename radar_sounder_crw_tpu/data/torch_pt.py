@@ -75,12 +75,39 @@ class _StorageType:
 
 def _rebuild_tensor(storage: np.ndarray, offset, size, stride):
     """numpy equivalent of torch._utils._rebuild_tensor: view the flat
-    storage at (element) offset with the given shape/strides."""
+    storage at (element) offset with the given shape/strides.
+
+    offset/size/stride come from the (untrusted) pickle, and as_strided
+    performs no bounds checking — so every element the view can touch is
+    proven inside the storage FIRST, otherwise a crafted .pt would read
+    out-of-bounds process memory into the returned array."""
+    offset = int(offset)
     size = tuple(int(s) for s in size)
     stride = tuple(int(s) for s in stride)
+    if offset < 0 or any(s < 0 for s in size) or any(s < 0 for s in stride):
+        raise ValueError(
+            "torch-free .pt reader: tensor with negative offset/size/stride "
+            f"(offset={offset}, size={size}, stride={stride})"
+        )
+    if len(stride) != len(size):
+        raise ValueError(
+            f"torch-free .pt reader: stride rank {len(stride)} != size rank "
+            f"{len(size)}"
+        )
+    # highest element index the strided view can reach (empty tensors touch
+    # no elements, but the offset itself must still be within the storage)
+    span = 0 if any(s == 0 for s in size) else (
+        1 + sum((sz - 1) * st for sz, st in zip(size, stride))
+    )
+    if offset + span > storage.size:
+        raise ValueError(
+            f"torch-free .pt reader: tensor view (offset={offset}, "
+            f"size={size}, stride={stride}) overruns its storage of "
+            f"{storage.size} elements"
+        )
     itemsize = storage.dtype.itemsize
     arr = np.lib.stride_tricks.as_strided(
-        storage[int(offset):],
+        storage[offset:],
         shape=size,
         strides=tuple(s * itemsize for s in stride),
         writeable=False,

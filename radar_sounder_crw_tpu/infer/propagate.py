@@ -636,13 +636,23 @@ class PropagationPipeline:
         # widest segment, so the Wmax bound alone would admit windows that
         # overrun a narrower segment into zeros).
         win_col = gather_ids[:, 1] if gather_ids.ndim == 2 else gather_ids
-        if gather_ids.ndim == 2:
+        if gather_ids.ndim == 2 and gather_ids.shape[0] > 0:
             inner = getattr(source, "dataset", source)
             segments = getattr(inner, "datasets", None)
             if segments is not None:
                 widths = [d.rg.shape[1] for d in segments]
-            else:  # no per-segment view: fall back to the stack width
-                widths = [rg_host.shape[-1]] * int(gather_ids[:, 0].max() + 1)
+            else:
+                # No per-segment view means the true per-segment widths are
+                # unknown; the stack width (padded to the widest segment)
+                # would ADMIT windows that overrun a narrower segment into
+                # its zero padding — exactly the silent failure this block
+                # exists to catch. Refuse rather than guess.
+                raise TypeError(
+                    f"propagate_survey: stacked source "
+                    f"{type(inner).__name__} exposes no per-segment "
+                    f"datasets, so window bounds cannot be validated "
+                    f"against true segment widths"
+                )
             nw_seg = np.array([geo.num_windows(T, W=int(w)) for w in widths])
             bad = (win_col < 0) | (win_col >= nw_seg[gather_ids[:, 0]])
             if bad.any():

@@ -155,7 +155,21 @@ def load_torch_checkpoint(path: str) -> dict:
                 f"is not installed to fall back on — if this checkpoint is a "
                 f"whole pickled module, re-save it as a state_dict"
             ) from e
-        sd = torch.load(path, map_location="cpu", weights_only=False)
+        # weights_only=True first; full unpickling executes arbitrary code
+        # on a crafted file, so it requires an explicit opt-in.
+        try:
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            import os as _os
+
+            if _os.environ.get("RSCRW_ALLOW_UNSAFE_PT") != "1":
+                raise ValueError(
+                    f"{path}: both the torch-free reader ({e}) and "
+                    f"torch.load(weights_only=True) refused this file; set "
+                    f"RSCRW_ALLOW_UNSAFE_PT=1 to permit full unpickling of "
+                    f"a TRUSTED file (e.g. a whole pickled nn.Module)"
+                ) from e
+            sd = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return import_state_dict(sd)

@@ -219,6 +219,120 @@ def test_legacy_framing_pickles_are_restricted(tmp_path):
         load_pt(evil)
 
 
+def test_rebuild_tensor_rejects_out_of_bounds_views():
+    """offset/size/stride come straight from the (untrusted) pickle and
+    as_strided performs no bounds checking — every geometry that could read
+    outside the storage must raise, not return heap garbage (advisor
+    finding, round 4)."""
+    from radar_sounder_crw_tpu.data.torch_pt import _rebuild_tensor
+
+    storage = np.arange(4, dtype=np.float32)
+    # in-bounds views still work
+    np.testing.assert_array_equal(
+        _rebuild_tensor(storage, 1, (3,), (1,)), storage[1:]
+    )
+    np.testing.assert_array_equal(
+        _rebuild_tensor(storage, 0, (2, 2), (2, 1)), storage.reshape(2, 2)
+    )
+    # empty tensors are fine even at the storage edge
+    assert _rebuild_tensor(storage, 4, (0,), (1,)).shape == (0,)
+    for offset, size, stride in (
+        (0, (64,), (1,)),      # size overruns
+        (2, (3,), (1,)),       # offset + span overruns
+        (1, (2,), (3,)),       # stride reaches past the end
+        (5, (0,), (1,)),       # even empty: offset beyond storage
+        (-1, (2,), (1,)),      # negative offset
+        (0, (2,), (-1,)),      # negative stride (reads before the base)
+        (0, (-2,), (1,)),      # negative size
+        (0, (2, 2), (1,)),     # rank mismatch
+    ):
+        with pytest.raises(ValueError, match="torch-free .pt reader"):
+            _rebuild_tensor(storage, offset, size, stride)
+
+
+def test_crafted_overrun_zip_pt_is_refused(tmp_path):
+    """End-to-end: a zip .pt whose pickle declares a tensor view larger
+    than its storage must raise, not read out-of-bounds memory."""
+    from collections import OrderedDict as OD
+
+    class _Marker:
+        pass
+
+    marker = _Marker()
+
+    class _Evil:
+        def __reduce__(self):
+            return (
+                torch._utils._rebuild_tensor_v2,
+                (marker, 0, (64,), (1,), False, OD()),
+            )
+
+    import io
+
+    buf = io.BytesIO()
+
+    class _P(pickle.Pickler):
+        def persistent_id(self, obj):
+            if obj is marker:
+                # storage of only 4 elements
+                return ("storage", torch.FloatStorage, "0", "cpu", 4)
+            return None
+
+    _P(buf, protocol=2).dump(_Evil())
+    evil = tmp_path / "overrun.pt"
+    with zipfile.ZipFile(str(evil), "w") as z:
+        z.writestr("archive/data.pkl", buf.getvalue())
+        z.writestr(
+            "archive/data/0", np.arange(4, dtype=np.float32).tobytes()
+        )
+    with pytest.raises(ValueError, match="overruns its storage"):
+        load_pt(evil)
+
+
+def test_radargram_unsafe_fallback_requires_opt_in(tmp_path, monkeypatch):
+    """A .pt both the torch-free reader AND torch.load(weights_only=True)
+    refuse is only fully unpickled with RSCRW_ALLOW_UNSAFE_PT=1 (advisor
+    finding, round 4: the fallback used to go straight to
+    weights_only=False)."""
+    from radar_sounder_crw_tpu.data import load_radargram
+
+    class _TensorMaker:
+        def __reduce__(self):
+            # benign, but references a global outside both allowlists
+            return (torch.ones, ((2, 3),))
+
+    p = tmp_path / "maker.pt"
+    torch.save(_TensorMaker(), str(p))
+    monkeypatch.delenv("RSCRW_ALLOW_UNSAFE_PT", raising=False)
+    with pytest.raises(ValueError, match="RSCRW_ALLOW_UNSAFE_PT"):
+        load_radargram(str(p))
+    monkeypatch.setenv("RSCRW_ALLOW_UNSAFE_PT", "1")
+    rg = load_radargram(str(p))
+    np.testing.assert_array_equal(rg, np.ones((2, 3), np.float32))
+
+
+def test_checkpoint_unsafe_fallback_requires_opt_in(tmp_path, monkeypatch):
+    """Same opt-in gate on the checkpoint reader: a whole pickled nn.Module
+    (the documented use for the torch fallback) is refused without the env
+    var and converted with it."""
+    from radar_sounder_crw_tpu.models.torch_import import (
+        load_torch_checkpoint,
+    )
+
+    seq = torch.nn.Sequential(torch.nn.Conv2d(1, 4, 3))
+    p = tmp_path / "module.pt"
+    torch.save(seq, str(p))
+    monkeypatch.delenv("RSCRW_ALLOW_UNSAFE_PT", raising=False)
+    with pytest.raises(ValueError, match="RSCRW_ALLOW_UNSAFE_PT"):
+        load_torch_checkpoint(str(p))
+    monkeypatch.setenv("RSCRW_ALLOW_UNSAFE_PT", "1")
+    variables = load_torch_checkpoint(str(p))
+    np.testing.assert_array_equal(
+        variables["params"]["0"]["kernel"],
+        seq[0].weight.detach().numpy().transpose(2, 3, 1, 0),
+    )
+
+
 def test_legacy_raw_storage_resolves_without_desync(tmp_path):
     """A legacy .pt holding a raw torch.Storage (no rebuilt tensor) must
     not desync the payload stream (the pid carries the dtype, so the byte
