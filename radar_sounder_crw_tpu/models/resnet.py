@@ -14,6 +14,7 @@ the conv/matmul path can run in bfloat16 on the MXU with float32 accumulation.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -37,9 +38,21 @@ def make_norm(fused: bool | str | None, train: bool, dtype, name: str):
     activation copy it saves), or the pure-jnp LeanBatchNorm ('lean' —
     bf16-read statistics with f32 accumulation, no autodiff boundary; the
     round-3-VERDICT #5 experiment). Parameter/collection layout is identical
-    across all three."""
+    across all three.
+
+    'twopass' is flax nn.BatchNorm with use_fast_variance=False: torch
+    computes batch variance as E[(x-mean)^2] (two passes) while flax's
+    default one-pass E[x^2]-E[x]^2 loses up to ~1e-2 relative precision to
+    float32 cancellation when a channel's |mean| >> std (measured against
+    torch.nn.BatchNorm2d: 1.5e-2 one-pass vs 5e-5 two-pass on offset
+    inputs). The default stays one-pass — it reads the activations once
+    (bandwidth-bound stats on TPU) and the precision loss is float noise,
+    not a semantics gap — but training-trajectory parity tests against the
+    reference (tests/test_reference_train_trajectory.py) use 'twopass'."""
     if fused in (None, False):
         cls = nn.BatchNorm
+    elif fused == "twopass":
+        cls = partial(nn.BatchNorm, use_fast_variance=False)
     elif fused in (True, "fused"):
         cls = FusedBatchNorm
     elif fused == "lean":
