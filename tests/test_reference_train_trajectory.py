@@ -428,3 +428,122 @@ def test_trained_encoder_miou_parity():
     assert gap <= 0.005, f"mIoU gap {gap * 100:.3f} pt (north star: 0.5)"
     # measured: identical maps; budget a couple of flips for backend drift
     assert flips <= 2, f"{flips}/{want_pred.size} prediction flips"
+
+
+# --------------------------------------------------------------------------
+# 6. UNet supervised trajectory: the reference's softmax-then-CE loop
+# --------------------------------------------------------------------------
+
+
+def test_unet_train_trajectory_matches_reference():
+    """K=10 Adam steps of the supervised UNet from a shared torch init on an
+    identical batch schedule, reproducing the reference loop VERBATIM —
+    including its double-softmax quirk (softmax the logits, then
+    cross_entropy ON THE PROBABILITIES, reference
+    scripts/test/test_unet.py:63-65) — then both trained nets segment a
+    held-out strip batch in eval mode (running stats). Asserts per-step loss
+    agreement within the measured float-noise envelope, >=99.5% pixel
+    agreement of the eval maps, and accuracy gap <= 0.5 pt. Closes the UNet
+    train->eval lifecycle the same way section 5 closes CRW's (round-5
+    VERDICT #5)."""
+    import jax
+    import torch
+    import torch.nn.functional as F
+
+    from radar_sounder_crw_tpu.models.torch_import import import_state_dict
+    from radar_sounder_crw_tpu.parallel.mesh import replicated
+    from radar_sounder_crw_tpu.train.unet_trainer import (
+        UNetState,
+        UNetTrainConfig,
+        UNetTrainer,
+    )
+
+    B, H, W, C, K, lr = 4, 32, 16, 4, 10, 1e-3
+    rng = np.random.default_rng(3)
+    protos = rng.standard_normal((C,)).astype(np.float32) * 2.0
+    bands = np.linspace(0, C, H, endpoint=False).astype(np.int64)  # (H,)
+
+    def make_batch():
+        y = np.broadcast_to(bands[None, :, None], (B, H, W))
+        x = protos[y] + 0.5 * rng.standard_normal((B, H, W))
+        onehot = np.eye(C, dtype=np.float32)[y]
+        return x[..., None].astype(np.float32), onehot
+
+    batches = [make_batch() for _ in range(K)]
+    x_te, y_te = make_batch()
+
+    ref_unet = import_reference("unet")
+    torch.manual_seed(11)
+    tnet = ref_unet.UNet(1, C, bilinear=True)
+    sd0 = {k: v.numpy().copy() for k, v in tnet.state_dict().items()}
+
+    # the reference loop, scripts/test/test_unet.py:55-70 (CPU, fixed batches)
+    opt = torch.optim.Adam(tnet.parameters(), lr=lr)
+    tnet.train(True)
+    want = []
+    with cuda_neutralized():
+        for x, y in batches:
+            pred = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            pred = F.softmax(pred, dim=1)  # the quirk: probs into CE
+            loss = F.cross_entropy(
+                input=pred, target=torch.from_numpy(y.transpose(0, 3, 1, 2))
+            )
+            want.append(float(loss.detach()))
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        tnet.train(False)
+        with torch.no_grad():
+            want_pred = (
+                tnet(torch.from_numpy(x_te.transpose(0, 3, 1, 2)))
+                .argmax(dim=1)
+                .numpy()
+            )
+
+    # our trainer from the identical init, identical schedule
+    cfg = UNetTrainConfig(
+        batch_size=B, epochs=1, lr=lr, n_classes=C,
+        quirk_double_softmax=True, device_resident=False,
+    )
+    trainer = UNetTrainer(cfg)
+    trainer.init_state(batches[0][0].shape)
+    variables = import_state_dict(sd0)
+    st = trainer.state
+    repl = replicated(trainer.mesh)
+    trainer.state = jax.device_put(
+        UNetState(
+            step=st.step,
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=trainer.tx.init(variables["params"]),
+        ),
+        repl,
+    )
+    got = []
+    w = np.ones(B, np.float32)
+    for x, y in batches:
+        # B=4 is partial on the 8-device test mesh -> the replicated step
+        # (exact BN batch statistics), same path fit() takes
+        trainer.state, loss = trainer._step_repl(
+            trainer.state,
+            jax.device_put(x, repl),
+            jax.device_put(y, repl),
+            jax.device_put(w, repl),
+        )
+        got.append(float(jax.device_get(loss)))
+
+    rel = np.abs(np.asarray(got) - np.asarray(want)) / np.abs(want)
+    # a semantics error (Adam bias correction, BN momentum, the quirk's CE
+    # direction) is systematic and visible at step 1 (~1e-7 measured there);
+    # later steps amplify backend conv noise through 18 conv layers + 9 BNs,
+    # faster than the small CNN's envelope (measured K=10 profile: 1.7e-7,
+    # 1.3e-6, 8.1e-6, 1.9e-5, then plateauing 4e-6..4.8e-5 — asserted ~10x)
+    assert rel[0] < 2e-6, rel
+    assert np.all(rel < 5e-4), rel
+
+    ours_pred = trainer.predict(x_te)
+    agree = (ours_pred == want_pred).mean()
+    assert agree >= 0.995, f"eval map agreement {agree:.4f}"
+    gt = y_te.argmax(-1)
+    gap = abs((want_pred == gt).mean() - (ours_pred == gt).mean())
+    assert gap <= 0.005, f"accuracy gap {gap * 100:.2f} pt"
