@@ -8,6 +8,15 @@ a saved predicted map.
 
 TPU-native addition: --batched propagates all radargrams in ONE vmapped,
 mesh-sharded device program (full-survey inference) instead of a host loop.
+
+Intentional deviation (documented upstream defect): the reference's
+get_smaller_item ASSIGNS self.pxw (reference src/dataset.py:42), so after
+any correction fired, its reverse pass (reference test_all.py:132-150)
+silently propagates small_length-frame windows and stretches the maps to
+full width. Window geometry here is immutable (data/radargram.py), so the
+reverse pass always sees true seq_length windows; the composed equivalence
+tests repair the reference's mutation to its evident intent and pin the
+defect itself (tests/test_e2e_testall_bitmatch.py).
 """
 
 from __future__ import annotations

@@ -128,11 +128,38 @@ def _load_ref_script():
     return mod
 
 
-def _run_reference(dataset_id, rg, seg, unc, weights_path, out_dir):
+def _repair_smaller_item(dataset_cls):
+    """Neutralize the reference's get_smaller_item side effect: it ASSIGNS
+    `self.pxw` (reference src/dataset.py:42), so after the correction phase
+    every later `dataset[i]` silently returns small_length-frame windows —
+    the reverse (use_last) pass then propagates truncated windows and
+    stretches the (N, small_length) maps to full radargram width
+    (measured on a generic fixture: the composed reverse maps gain ~2-6x
+    class-2 area vs the same propagate on true 16-frame windows). This
+    framework treats that as an unintended upstream defect and keeps window
+    geometry immutable (data/radargram.py get_smaller_item returns a view,
+    no state), so the comparison harness repairs the reference to its
+    evident intent — the test_reference_smaller_item_mutation_pinned test
+    pins the defect itself so this patch cannot silently hide a real
+    semantics change."""
+    orig = dataset_cls.get_smaller_item
+
+    def repaired(self, index, small_length):
+        pxw = self.pxw
+        try:
+            return orig(self, index, small_length)
+        finally:
+            self.pxw = pxw
+
+    dataset_cls.get_smaller_item = repaired
+
+
+def _run_reference(dataset_id, rg, seg, unc, weights_path, out_dir, cfg=CFG):
     import torch
 
     ref = _load_ref_script()
     dataset_mod = sys.modules["dataset"]
+    _repair_smaller_item(dataset_mod.RGDataset)
     seg_t = torch.tensor(seg)
     unc_t = torch.tensor(unc)
     rg_path = os.path.join(out_dir, "rg_ref.pt")
@@ -169,8 +196,8 @@ def _run_reference(dataset_id, rg, seg, unc, weights_path, out_dir):
 
     args = types.SimpleNamespace(
         model=0, dataset=dataset_id, patch_size=PATCH, seq_length=T,
-        overlap=list(OVERLAP), cxt_size=CFG[0], radius=CFG[1], temp=CFG[2],
-        knn=CFG[3], model_path=weights_path,
+        overlap=list(OVERLAP), cxt_size=cfg[0], radius=cfg[1], temp=cfg[2],
+        knn=cfg[3], model_path=weights_path,
         output_folder=out_dir + os.sep, pos_embed=False, remove_unc=True,
         flip=False, use_last=True, dataset_full=True, correction=True,
     )
@@ -196,7 +223,7 @@ def _load_our_script():
 
 
 def _run_ours(dataset_id, rg, seg, unc, weights_path, out_dir, monkeypatch,
-              batched, correction=True, use_last=True):
+              batched, correction=True, use_last=True, cfg=CFG):
     import radar_sounder_crw_tpu.infer.propagate as prop_mod
     from radar_sounder_crw_tpu import data as data_pkg
     from radar_sounder_crw_tpu import ops as ops_pkg
@@ -235,7 +262,7 @@ def _run_ours(dataset_id, rg, seg, unc, weights_path, out_dir, monkeypatch,
         "--seq_length", str(T),
         "--patch_size", str(PATCH[0]), str(PATCH[1]),
         "--overlap", str(OVERLAP[0]), str(OVERLAP[1]),
-        "-c", str(CFG[0]), "-t", str(CFG[2]), "-k", str(CFG[3]),
+        "-c", str(cfg[0]), "-t", str(cfg[2]), "-k", str(cfg[3]),
         "--no_plots", "--xent_quirk",
         "--model_path", weights_path,
         "--output_folder", out_dir,
@@ -243,7 +270,7 @@ def _run_ours(dataset_id, rg, seg, unc, weights_path, out_dir, monkeypatch,
       + (["--correction"] if correction else []) \
       + (["--use_last"] if use_last else [])
     args = mod.get_args_parser().parse_args(argv)
-    args.radius = CFG[1]  # 0.5 (the CLI flag is int-typed like the reference)
+    args.radius = cfg[1]  # 0.5 (the CLI flag is int-typed like the reference)
     mod.main(args)
     pm = np.load(os.path.join(out_dir, "predicted_map.npy"))
     return captured["gt"], captured["pred"], pm
@@ -296,6 +323,108 @@ def test_full_test_all_flow_bitmatch(dataset_id, tmp_path, monkeypatch):
         confusion_matrix(gt_our, pred_our.astype(np.int64), n),
         confusion_matrix(gt_ref, pred_ref.astype(np.int64), n),
     )
+
+
+@pytest.mark.parametrize("kind,min_rate", [("structured", 0.995), ("noise", 0.99)])
+def test_generic_fixture_agreement_rate(kind, min_rate, tmp_path, monkeypatch):
+    """Agreement on UN-engineered fixtures (round-5 VERDICT #4): the
+    bit-match test above runs on margins engineered >= ~1e-2 so cross-backend
+    float noise (~1e-6) cannot flip a top-k or argmax; this one feeds the
+    SAME composed flows generic data — full candidate sets (radius 10, no
+    own-row restriction), natural near-ties — and ASSERTS the pixel
+    agreement rate instead of equality, extending the parity claim past
+    engineered margins. (Writing it caught a real composed-flow gap the
+    engineered fixtures were blind to: the reference's get_smaller_item
+    geometry mutation — see _repair_smaller_item and DESIGN.md §11.1.)
+
+    Two regimes, measured on this image (torch-CPU vs XLA-CPU, reference
+    repaired per _repair_smaller_item):
+      * 'structured' — class-dependent signal + 50% noise, the realistic
+        shape of radargram content: measured 144/65,536 map px and
+        144/58,368 report px (99.78% / 99.75%); asserted >= 99.5%.
+      * 'noise' — PURE standard-normal pixels, the adversarial extreme where
+        every patch is statistically identical, embeddings nearly collapse
+        and thousands of top-k margins sit at backend-noise scale: measured
+        272/65,536 map and 256/58,368 report (99.59% / 99.56%); asserted
+        >= 99%.
+    A semantics regression flips whole regions (the pinned-change splice,
+    merge tables, context window, the reverse pass's window length),
+    failing both bounds loudly — the unrepaired geometry mutation measured
+    24-34% report disagreement — while version-to-version float drift stays
+    orders below them."""
+    weights_path = _shared_weights(tmp_path)
+    ncls = NCLS[0]
+    rng = np.random.default_rng(17)
+    rows = np.arange(HPX)
+    seg = (rows[:, None] * ncls // HPX) * np.ones((1, WPX), np.int64)
+    speckle = rng.random(seg.shape) < 0.2
+    seg[speckle] = rng.integers(0, ncls, size=int(speckle.sum()))
+    unc = seg.copy()
+    unc[HPX // 3 : HPX // 3 + 14] = 4
+    noise = rng.standard_normal((HPX, WPX)).astype(np.float32)
+    if kind == "noise":
+        rg = noise
+    else:
+        protos = rng.standard_normal(ncls + 1).astype(np.float32)
+        rg = protos[seg] + 0.5 * noise  # content-correlated, not engineered
+    cfg = (16, 10.0, 0.05, 5)  # full-radius candidate sets
+
+    ref_dir = str(tmp_path / "ref")
+    our_dir = str(tmp_path / "ours")
+    os.makedirs(ref_dir)
+    os.makedirs(our_dir)
+    gt_ref, pred_ref, map_ref = _run_reference(
+        0, rg, seg, unc, weights_path, ref_dir, cfg=cfg
+    )
+    gt_our, pred_our, map_our = _run_ours(
+        0, rg, seg, unc, weights_path, our_dir, monkeypatch, batched=True,
+        cfg=cfg,
+    )
+
+    np.testing.assert_array_equal(gt_our, gt_ref)  # gt path has no float
+    map_flips = int((map_our.astype(np.int64) != map_ref.astype(np.int64)).sum())
+    pred_flips = int((pred_our.astype(np.int64) != pred_ref.astype(np.int64)).sum())
+    map_rate = 1.0 - map_flips / map_ref.size
+    pred_rate = 1.0 - pred_flips / pred_ref.size
+    print(
+        f"{kind}-fixture agreement: map {map_flips}/{map_ref.size} flips "
+        f"({map_rate:.6f}), report {pred_flips}/{pred_ref.size} "
+        f"({pred_rate:.6f})"
+    )
+    assert map_rate >= min_rate, f"{map_flips}/{map_ref.size} map flips"
+    assert pred_rate >= min_rate, f"{pred_flips}/{pred_ref.size} report flips"
+
+
+def test_reference_smaller_item_mutation_pinned(tmp_path):
+    """Pin the upstream defect _repair_smaller_item exists for: the
+    reference's get_smaller_item assigns `self.pxw` (src/dataset.py:42), so
+    in test_all.py every post-correction `dataset[i]` — i.e. the whole
+    reverse pass (test_all.py:132-150) — returns small_length-frame windows
+    instead of seq_length-frame ones. Our RGWindows keeps geometry
+    immutable. If this test ever fails because the reference stops
+    mutating, the repair patch (and this pin) can both be removed."""
+    import torch
+
+    import_reference("dataset")
+    dataset_mod = sys.modules["dataset"]
+    rg = np.zeros((64, 300), np.float32)
+    rg_path = str(tmp_path / "rg.pt")
+    torch.save(torch.tensor(rg), rg_path)
+    ds = dataset_mod.RGDataset(
+        filepath=rg_path, length=16, dim=(16, 16), overlap=[0, 0]
+    )
+    assert ds[0].shape[0] == 16
+    small = ds.get_smaller_item(0, 6)
+    assert small.shape[0] == 6
+    # the defect: a plain __getitem__ AFTER get_smaller_item is truncated
+    assert ds[0].shape[0] == 6, "upstream fixed the mutation — drop the repair"
+
+    from radar_sounder_crw_tpu.data import RGWindows
+
+    ours = RGWindows(rg, length=16, dim=(16, 16), overlap=(0, 0))
+    assert ours[0].shape[0] == 16
+    assert ours.get_smaller_item(0, 6).shape[0] == 6
+    assert ours[0].shape[0] == 16  # immutable geometry
 
 
 def test_fixture_exercises_correction_and_merges(tmp_path, monkeypatch):
