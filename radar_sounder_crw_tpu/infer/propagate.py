@@ -103,7 +103,7 @@ def _resolve_batched_kernel(
 def _batched_body(
     model, variables, seqs, seeds, cfg, use_pos_embed: bool,
     bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
-    compute_xent: bool, return_xent: bool, mesh=None,
+    compute_xent: bool, return_xent: bool, mesh=None, nclasses=None,
 ):
     """Shared trace body of the batched survey programs: encode + propagate
     (+ change-point signal, + optionally the full xent maps) over the
@@ -114,6 +114,13 @@ def _batched_body(
     per-radargram encode, while the dominant-FLOPs encoder forward runs
     sharded instead of serially per radargram (round-1 VERDICT weak #2).
     """
+    if seeds.ndim == 2:
+        # compact (R, N) int seed labels: the one-hot is rebuilt on device —
+        # jax.nn.one_hot emits exact 0.0/1.0, so downstream propagation is
+        # bit-identical to an uploaded one-hot while the per-call host->device
+        # transfer drops M*4x (75 KB -> 3.2 KB at the Miguel survey config,
+        # ~15 ms of tunnel time per call on this deployment)
+        seeds = jax.nn.one_hot(seeds, nclasses, dtype=jnp.float32)
     embs = jax.vmap(
         lambda s: encode_sequence(model, variables, s, use_pos_embed, bn_train_mode)
     )(seqs)
@@ -168,13 +175,13 @@ def _batched_body(
     jax.jit,
     static_argnames=(
         "model", "use_pos_embed", "bn_train_mode", "cfg", "kernel",
-        "xent_quirk", "compute_xent", "return_xent", "mesh",
+        "xent_quirk", "compute_xent", "return_xent", "mesh", "nclasses",
     ),
 )
 def _batched_encode_propagate(
     model, variables, seqs, seeds, cfg, use_pos_embed: bool,
     bn_train_mode: bool, kernel: str, xent_tau, xent_quirk: bool,
-    compute_xent: bool, return_xent: bool = False, mesh=None,
+    compute_xent: bool, return_xent: bool = False, mesh=None, nclasses=None,
 ):
     """ONE device program for full-survey inference over PRE-STAGED window
     stacks, the radargram axis R sharded over the mesh. `mesh` (static —
@@ -183,6 +190,7 @@ def _batched_encode_propagate(
     return _batched_body(
         model, variables, seqs, seeds, cfg, use_pos_embed, bn_train_mode,
         kernel, xent_tau, xent_quirk, compute_xent, return_xent, mesh,
+        nclasses,
     )
 
 
@@ -191,14 +199,14 @@ def _batched_encode_propagate(
     static_argnames=(
         "model", "use_pos_embed", "bn_train_mode", "cfg", "kernel",
         "xent_quirk", "compute_xent", "return_xent", "geo", "length",
-        "use_last", "mesh",
+        "use_last", "mesh", "nclasses",
     ),
 )
 def _survey_encode_propagate(
     model, variables, rg, indices, seeds, geo, length: int, use_last: bool,
     cfg, use_pos_embed: bool, bn_train_mode: bool, kernel: str, xent_tau,
     xent_quirk: bool, compute_xent: bool, return_xent: bool = False,
-    mesh=None,
+    mesh=None, nclasses=None,
 ):
     """The DEVICE-RESIDENT survey program: windows are gathered inside the
     jitted program from the once-uploaded radargram (replicated) driven by a
@@ -215,6 +223,7 @@ def _survey_encode_propagate(
     return _batched_body(
         model, variables, seqs, seeds, cfg, use_pos_embed, bn_train_mode,
         kernel, xent_tau, xent_quirk, compute_xent, return_xent, mesh,
+        nclasses,
     )
 
 
@@ -555,12 +564,7 @@ class PropagationPipeline:
         R, T, N, _, _ = seqs.shape
         mesh = make_mesh() if mesh is None else mesh
 
-        seeds = np.stack(
-            [
-                seed_onehot_from_segmentation(sr, N, self.nclasses)[0]
-                for sr in seg_refs
-            ]
-        )
+        seeds = self._stack_seed_labels(seg_refs, N)
         # pad_to_multiple dispatches on array type: device-resident
         # (pre-staged) inputs are padded on device, host arrays with numpy
         seqs_p, real = pad_to_multiple(seqs, mesh.devices.size)
@@ -575,7 +579,7 @@ class PropagationPipeline:
             self.use_pos_embed, self.bn_train_mode, self.kernel,
             self.xent_tau, self.xent_quirk,
             compute_xent=detect_change and T >= 4,
-            return_xent=return_xent, mesh=mesh,
+            return_xent=return_xent, mesh=mesh, nclasses=self.nclasses,
         )
         return self._fetch_batched(pred, sigs, xents, real, detect_change, return_xent)
 
@@ -718,12 +722,7 @@ class PropagationPipeline:
         mesh = make_mesh() if mesh is None else mesh
         rg_dev = self._resident_radargram(rg_host, mesh)
         N = geo.nh
-        seeds = np.stack(
-            [
-                seed_onehot_from_segmentation(sr, N, self.nclasses)[0]
-                for sr in seg_refs
-            ]
-        )
+        seeds = self._stack_seed_labels(seg_refs, N)
         ids_p, real = pad_to_multiple(gather_ids.astype(np.int32), mesh.devices.size)
         seeds_p, _ = pad_to_multiple(seeds, mesh.devices.size)
         bsh = batch_sharding(mesh)
@@ -734,9 +733,23 @@ class PropagationPipeline:
             use_last, self.lp_cfg, self.use_pos_embed, self.bn_train_mode,
             self.kernel, self.xent_tau, self.xent_quirk,
             compute_xent=detect_change and T >= 4,
-            return_xent=return_xent, mesh=mesh,
+            return_xent=return_xent, mesh=mesh, nclasses=self.nclasses,
         )
         return self._fetch_batched(pred, sigs, xents, real, detect_change, return_xent)
+
+    def _stack_seed_labels(self, seg_refs, n_nodes: int) -> np.ndarray:
+        """(R, N) compact int seed labels for the batched programs — the
+        device side rebuilds the exact one-hot (_batched_body), so the
+        per-call upload is M*4x smaller than staging the f32 one-hot
+        (75 KB -> 3.2 KB at the Miguel survey config). int8 when the class
+        count allows, mirroring the int8 fetch guard."""
+        labels = np.stack(
+            [
+                seed_onehot_from_segmentation(sr, n_nodes, self.nclasses)[1]
+                for sr in seg_refs
+            ]
+        )
+        return labels.astype(np.int8 if self.nclasses <= 127 else np.int32)
 
     def _resident_radargram(self, rg_host: np.ndarray, mesh):
         """Upload `rg_host` replicated over `mesh` once; reuse across passes
