@@ -274,7 +274,7 @@ def bench_unet_train():
     import jax.numpy as jnp
     import numpy as np
 
-    from radar_sounder_crw_tpu.parallel.mesh import batch_sharding, replicated
+    from radar_sounder_crw_tpu.parallel.mesh import batch_sharding
     from radar_sounder_crw_tpu.train.unet_trainer import (
         UNetTrainConfig,
         UNetTrainer,
@@ -291,7 +291,7 @@ def bench_unet_train():
     rg, seg = synthetic_radargram(H=H, W=B * W, nclasses=5, seed=23)
     x, y = unfold_strips(rg, seg, strip_w=W, n_classes=5)
     trainer.init_state(x.shape)
-    bsh, repl = batch_sharding(trainer.mesh), replicated(trainer.mesh)
+    bsh = batch_sharding(trainer.mesh)
     x_dev = jax.device_put(np.ascontiguousarray(x[:B]), bsh)
     y_dev = jax.device_put(np.ascontiguousarray(y[:B]), bsh)
     w_dev = jax.device_put(np.ones((B,), np.float32), bsh)

@@ -36,20 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def slope_ms(dispatch, fetch, k=6, reps=3):
-    slopes = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.device_get(fetch(dispatch()))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(k):
-            out = dispatch()
-        jax.device_get(fetch(out))
-        tk = time.perf_counter() - t0
-        slopes.append((tk - t1) / (k - 1))
-    slopes.sort()
-    return slopes[len(slopes) // 2] * 1e3
+from bench import _device_slope_ms as slope_ms  # noqa: E402 — one slope protocol, not two copies
 
 
 def main():
@@ -82,7 +69,12 @@ def main():
     pipe = PropagationPipeline(model, dict(variables), cfg, nclasses=nclasses)
     seg_refs = [seg[:rg_h, rg_len * t : rg_len * t + patch[1]] for t in range(R)]
 
-    mesh = make_mesh()
+    # PER-CHIP accounting: pin a 1-device mesh so the stage programs and the
+    # fused program resolve the same kernel at the same per-device R, and the
+    # unpadded R=63 batch satisfies the programs' divisibility contract on
+    # multi-chip hosts too (the product API pads; this harness measures one
+    # chip's roofline)
+    mesh = make_mesh(jax.devices()[:1])
     rg_host, geo_r, index_map = resident_source(ds)
     rg_dev = jax.device_put(jnp.asarray(rg_host))
     ids_dev = jax.device_put(jnp.asarray(index_map[idxs].astype(np.int32)))
@@ -156,7 +148,7 @@ def main():
     except Exception as exc:
         print(f"cost_analysis unavailable: {exc}")
 
-    print(f"\nstage slopes (ms/dispatch, k=6 chained, median of 3):")
+    print("\nstage slopes (ms/dispatch, k=8 chained, median of 3):")
     print(f"  gather-only          {g_ms:8.2f}")
     print(f"  gather+encode        {e_ms:8.2f}   (encode ~= {e_ms - g_ms:.2f})")
     print(f"  propagate-only       {p_ms:8.2f}")

@@ -36,33 +36,12 @@ def load_radargram(filepath: str) -> np.ndarray:
         with np.load(filepath) as z:
             return np.asarray(z[z.files[0]], dtype=np.float32)
     if filepath.endswith(".pt"):
-        from .torch_pt import load_pt
+        from .torch_pt import load_pt, torch_fallback_load
 
         try:
             t = load_pt(filepath)
         except Exception as e:  # non-tensor layout: try torch if available
-            try:
-                import torch
-            except ImportError:
-                raise ValueError(
-                    f"{filepath}: the torch-free .pt reader failed ({e}) and "
-                    f"torch is not installed to fall back on"
-                ) from e
-            # weights_only=True keeps torch's own restricted unpickler in
-            # the loop; full unpickling (arbitrary code execution on a
-            # crafted file) requires an explicit opt-in, otherwise a file
-            # built to trip the restricted reader would silently get it.
-            try:
-                t = torch.load(filepath, map_location="cpu", weights_only=True)
-            except Exception:
-                if os.environ.get("RSCRW_ALLOW_UNSAFE_PT") != "1":
-                    raise ValueError(
-                        f"{filepath}: both the torch-free reader ({e}) and "
-                        f"torch.load(weights_only=True) refused this file; "
-                        f"set RSCRW_ALLOW_UNSAFE_PT=1 to permit full "
-                        f"unpickling of a TRUSTED file"
-                    ) from e
-                t = torch.load(filepath, map_location="cpu", weights_only=False)
+            t = torch_fallback_load(filepath, e)
             t = t.float().numpy()
         if not isinstance(t, np.ndarray):
             raise ValueError(

@@ -339,6 +339,41 @@ def load_pt(path: str | os.PathLike):
         return _load_legacy(f)
 
 
+def torch_fallback_load(path: str, restricted_err: Exception, hint: str = ""):
+    """The ONE fallback policy for ``.pt`` files the restricted reader
+    refuses, shared by every .pt entry point (data/radargram.py,
+    models/torch_import.py) so the security gate cannot drift between them:
+
+    1. require an installed torch (else ValueError chaining the restricted
+       reader's refusal);
+    2. try ``torch.load(weights_only=True)`` — torch's own restricted
+       unpickler stays in the loop;
+    3. full unpickling (arbitrary code execution on a crafted file) only
+       with the explicit ``RSCRW_ALLOW_UNSAFE_PT=1`` opt-in; otherwise
+       raise a ValueError that carries BOTH refusal reasons (ours in the
+       message, torch's chained as ``__cause__``) so the user can see which
+       global to allowlist for a trusted-but-exotic file.
+    """
+    try:
+        import torch
+    except ImportError:
+        raise ValueError(
+            f"{path}: the torch-free .pt reader failed ({restricted_err}) "
+            f"and torch is not installed to fall back on{hint}"
+        ) from restricted_err
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as torch_err:
+        if os.environ.get("RSCRW_ALLOW_UNSAFE_PT") != "1":
+            raise ValueError(
+                f"{path}: both the torch-free reader ({restricted_err}) and "
+                f"torch.load(weights_only=True) ({torch_err}) refused this "
+                f"file; set RSCRW_ALLOW_UNSAFE_PT=1 to permit full "
+                f"unpickling of a TRUSTED file{hint}"
+            ) from torch_err
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
 # --------------------------------------------------------------------------
 # Writer: hand-emitted protocol-2 pickle + zip layout (torch.load-compatible)
 # --------------------------------------------------------------------------

@@ -506,8 +506,10 @@ class PropagationPipeline:
         frames cannot influence earlier outputs. bucket=1 disables.
 
         Returns a PropagateResult whose prediction is the spliced (N, T) map;
-        xent is the cached metric (embeddings are unchanged by re-seeding);
-        change_idx is None (detection belongs to the original call).
+        xent is the cached metric (embeddings are unchanged by re-seeding) —
+        None for the whole session when the original __call__ opted out with
+        fetch_xent=False; change_idx is None (detection belongs to the
+        original call).
         """
         pred, tail_len = self.reseed_device(seg_ref, frame_idx, bucket)
         cache = self._cache
@@ -742,14 +744,28 @@ class PropagationPipeline:
         device side rebuilds the exact one-hot (_batched_body), so the
         per-call upload is M*4x smaller than staging the f32 one-hot
         (75 KB -> 3.2 KB at the Miguel survey config). int8 when the class
-        count allows, mirroring the int8 fetch guard."""
+        count allows, mirroring the int8 fetch guard.
+
+        Bit-compatibility with the single-radargram path: np.eye(C)[labels]
+        (seed_onehot_from_segmentation, used by __call__) accepts labels in
+        [-C, C) with Python wrap-around for negatives, while
+        jax.nn.one_hot(-1) would emit an all-zero row — so wrap negatives
+        here (where the labels are concrete) and refuse anything np.eye
+        would refuse, keeping the two paths exactly interchangeable."""
         labels = np.stack(
             [
                 seed_onehot_from_segmentation(sr, n_nodes, self.nclasses)[1]
                 for sr in seg_refs
             ]
         )
-        return labels.astype(np.int8 if self.nclasses <= 127 else np.int32)
+        C = self.nclasses
+        if labels.size and (labels.min() < -C or labels.max() >= C):
+            raise IndexError(
+                f"seed labels must lie in [-{C}, {C}) (np.eye semantics); "
+                f"got range [{labels.min()}, {labels.max()}]"
+            )
+        labels = np.where(labels < 0, labels + C, labels)
+        return labels.astype(np.int8 if C <= 127 else np.int32)
 
     def _resident_radargram(self, rg_host: np.ndarray, mesh):
         """Upload `rg_host` replicated over `mesh` once; reuse across passes

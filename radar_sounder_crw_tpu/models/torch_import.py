@@ -142,34 +142,15 @@ def load_torch_checkpoint(path: str) -> dict:
     so reference-trained checkpoints load on a torch-less TPU VM; an
     installed torch is only the fallback for layouts the restricted reader
     refuses (e.g. a pickled nn.Module instead of a state_dict)."""
-    from ..data.torch_pt import load_pt
+    from ..data.torch_pt import load_pt, torch_fallback_load
 
     try:
         sd = load_pt(path)
     except Exception as e:
-        try:
-            import torch
-        except ImportError:
-            raise ValueError(
-                f"{path}: the torch-free .pt reader failed ({e}) and torch "
-                f"is not installed to fall back on — if this checkpoint is a "
-                f"whole pickled module, re-save it as a state_dict"
-            ) from e
-        # weights_only=True first; full unpickling executes arbitrary code
-        # on a crafted file, so it requires an explicit opt-in.
-        try:
-            sd = torch.load(path, map_location="cpu", weights_only=True)
-        except Exception:
-            import os as _os
-
-            if _os.environ.get("RSCRW_ALLOW_UNSAFE_PT") != "1":
-                raise ValueError(
-                    f"{path}: both the torch-free reader ({e}) and "
-                    f"torch.load(weights_only=True) refused this file; set "
-                    f"RSCRW_ALLOW_UNSAFE_PT=1 to permit full unpickling of "
-                    f"a TRUSTED file (e.g. a whole pickled nn.Module)"
-                ) from e
-            sd = torch.load(path, map_location="cpu", weights_only=False)
+        sd = torch_fallback_load(
+            path, e,
+            hint=" (e.g. a whole pickled nn.Module — re-save as a state_dict)",
+        )
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return import_state_dict(sd)
