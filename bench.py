@@ -556,6 +556,27 @@ def bench_full_survey():
         radargrams=R,
     )
 
+    # device slope: k chained survey dispatches, ONE fetch — the wall metric
+    # above is link-bound through this deployment's relay (~29 ms/call fetch
+    # floor + the 315 KB int8 map payload); the slope is what the device
+    # sustains, the number a local-host deployment would see (protocol:
+    # _device_slope_ms, the reseed_device pattern)
+    slope_ms = _device_slope_ms(
+        lambda: pipe.propagate_survey_device(ds, idxs, seg_refs)[0],
+        lambda out: out[0, 0, 0],
+    )
+    slope_rps = R / (slope_ms / 1e3)
+    print(
+        f"full survey device slope: {slope_ms:.1f} ms = {slope_rps:.1f} rg/s",
+        file=sys.stderr,
+    )
+    emit(
+        "full_survey_radargrams_per_sec_device_slope", slope_rps,
+        f"radargrams/s (device slope: (t_k - t_1)/(k-1), k=8 chained survey dispatches, {R} windows)",
+        slope_rps / baseline_rps if baseline_rps else None, kind,
+        radargrams=R,
+    )
+
 
 def _probe_backend(timeout_s: int) -> None:
     """Fail FAST if the device backend is unreachable.

@@ -616,7 +616,27 @@ class PropagationPipeline:
     ):
         """Full-survey inference with DEVICE-RESIDENT window gathering — the
         product path for `scripts/test_all.py --batched`, the qualitative
-        scripts and bench.py (all three route through here).
+        scripts and bench.py (all three route through here). Exactly
+        `propagate_survey_device` + the one host fetch (`_fetch_batched`);
+        see that method for the argument semantics."""
+        pred, sigs, xents, real = self.propagate_survey_device(
+            source, window_ids, seg_refs, length=length,
+            frame_offsets=frame_offsets, mesh=mesh, use_last=use_last,
+            detect_change=detect_change, return_xent=return_xent,
+        )
+        return self._fetch_batched(pred, sigs, xents, real, detect_change, return_xent)
+
+    def propagate_survey_device(
+        self, source, window_ids, seg_refs, *, length: int | None = None,
+        frame_offsets=None, mesh=None, use_last: bool = False,
+        detect_change: bool = False, return_xent: bool = False,
+    ):
+        """The device dispatch of `propagate_survey` without the host fetch:
+        returns the raw ((B, N, T') device predictions, change signals or
+        None, xent maps or None, real) tuple, B = real rounded up to the
+        mesh size. Probes chain k of these before a single fetch to measure
+        the survey's device throughput (bench.py's device-slope metric, the
+        reseed_device pattern).
 
         The radargram(s) behind `source` are uploaded ONCE (memoized on this
         pipeline, replicated over the mesh) and every pass — forward,
@@ -641,9 +661,10 @@ class PropagationPipeline:
           become resident gathers.
         use_last / detect_change / return_xent: as in propagate_batch.
 
-        Returns (R, N, T') predictions, plus change indices and/or xent maps
-        per the flags — identical shapes and values to propagate_batch on
-        host-staged windows (equality-tested in tests/test_survey_resident.py).
+        Through `propagate_survey`, returns (R, N, T') predictions, plus
+        change indices and/or xent maps per the flags — identical shapes and
+        values to propagate_batch on host-staged windows (equality-tested in
+        tests/test_survey_resident.py).
         """
         from ..data.device_windows import resident_source
         from ..parallel.mesh import batch_sharding, make_mesh, pad_to_multiple
@@ -737,7 +758,7 @@ class PropagationPipeline:
             compute_xent=detect_change and T >= 4,
             return_xent=return_xent, mesh=mesh, nclasses=self.nclasses,
         )
-        return self._fetch_batched(pred, sigs, xents, real, detect_change, return_xent)
+        return pred, sigs, xents, real
 
     def _stack_seed_labels(self, seg_refs, n_nodes: int) -> np.ndarray:
         """(R, N) compact int seed labels for the batched programs — the
