@@ -347,3 +347,28 @@ def test_legacy_raw_storage_resolves_without_desync(tmp_path):
         np.asarray(got["s"]), np.arange(6, dtype=np.float32)
     )
     np.testing.assert_array_equal(got["t2"], t2.numpy())
+
+def test_fallback_error_carries_both_refusal_reasons(tmp_path, monkeypatch):
+    """The shared torch_fallback_load policy (one helper for both .pt entry
+    points) must surface BOTH refusal diagnostics: the torch-free reader's
+    reason in the message and torch's weights_only=True exception as the
+    chained __cause__ — so a user with a trusted-but-exotic file can see
+    which global needs allowlisting (round-5 review finding: the old inline
+    copies discarded torch's reason)."""
+    from radar_sounder_crw_tpu.data import load_radargram
+
+    class _TensorMaker:
+        def __reduce__(self):
+            return (torch.ones, ((2, 3),))
+
+    p = tmp_path / "maker2.pt"
+    torch.save(_TensorMaker(), str(p))
+    monkeypatch.delenv("RSCRW_ALLOW_UNSAFE_PT", raising=False)
+    with pytest.raises(ValueError) as ei:
+        load_radargram(str(p))
+    msg = str(ei.value)
+    # our reader's reason (it names the refused global) is in the message
+    assert "torch-free reader" in msg and "getattr" in msg
+    assert "weights_only=True" in msg
+    # torch's own refusal is the direct cause, not swallowed
+    assert "Weights only load failed" in str(ei.value.__cause__)
