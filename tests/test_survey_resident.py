@@ -317,3 +317,18 @@ def test_pipeline_pins_eval_stem_for_auto_models():
         cnn, dict(vc), LabelPropConfig(4, 4, 0.1, 3), nclasses=4
     )
     assert pipe3.model is cnn
+
+def test_survey_device_dispatch_is_the_fetchless_product(single_rg):
+    """propagate_survey_device (the bench probe / embedder surface) returns
+    exactly the device tuple propagate_survey fetches: fetching its pred and
+    slicing to `real` must equal the product call, and the padded batch is
+    the mesh-rounded size."""
+    ds, pipe, ids, refs = single_rg
+    prod = pipe.propagate_survey(ds, ids, refs)
+    pred, sigs, xents, real = pipe.propagate_survey_device(ds, ids, refs)
+    assert real == len(ids)
+    assert pred.shape[0] % jax.device_count() == 0
+    assert sigs is None and xents is None
+    got = np.asarray(jax.device_get(pred))[:real]
+    got = np.transpose(got, (0, 2, 1)).astype(np.int32)
+    np.testing.assert_array_equal(got, prod)
