@@ -88,10 +88,15 @@ def main():
 
     @jax.jit
     def encode_prog(rg, ids):
+        # mirrors _batched_body's eval path: ONE flat (R*T, N) forward (the
+        # window axis is inert at eval; vmap would break the batch-minor
+        # encoder layout — see the comment there)
         seqs = gather_windows(rg, ids, geo_r, T).astype(jnp.float32)
-        return jax.vmap(
-            lambda s: encode_sequence(emodel, pipe.variables, s, False, False)
-        )(seqs)
+        Rw, Tw, Nw = seqs.shape[:3]
+        flat = seqs.reshape(Rw * Tw, Nw, *seqs.shape[3:])
+        return encode_sequence(
+            emodel, pipe.variables, flat, False, False
+        ).reshape(Rw, Tw, Nw, -1)
 
     embs = encode_prog(rg_dev, ids_dev)
     embs = jax.device_put(embs)  # resident input for the propagate-only stage

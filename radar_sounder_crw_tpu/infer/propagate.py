@@ -55,12 +55,20 @@ class PropagateResult:
 @partial(jax.jit, static_argnames=("model", "use_pos_embed", "bn_train_mode"))
 def encode_sequence(model, variables, seq, use_pos_embed: bool, bn_train_mode: bool):
     """(T, N, H, W) -> (T, N, C) L2-normalized embeddings, one batched
-    encoder forward (reference: src/utils.py:111-115)."""
+    encoder forward (reference: src/utils.py:111-115).
+
+    On TPU at eval, large ResNet batches route through the batch-minor
+    (HWCN) forward (models/batch_minor.py — same math, lane-dense layout;
+    `RSCRW_ENCODER_IMPL` overrides, read at trace time)."""
+    from ..models.batch_minor import resnet_eval_batch_minor, use_batch_minor
+
     T, N, H, W = seq.shape
     x = seq.reshape(T * N, H, W, 1)
     x = maybe_pos_embed(x, use_pos_embed)
     if bn_train_mode:
         out, _ = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    elif use_batch_minor(model, T * N, bn_train_mode):
+        out = resnet_eval_batch_minor(model, variables, x)
     else:
         out = model.apply(variables, x, train=False)
     emb = out.reshape(T, N, -1)
@@ -121,9 +129,25 @@ def _batched_body(
         # transfer drops M*4x (75 KB -> 3.2 KB at the Miguel survey config,
         # ~15 ms of tunnel time per call on this deployment)
         seeds = jax.nn.one_hot(seeds, nclasses, dtype=jnp.float32)
-    embs = jax.vmap(
-        lambda s: encode_sequence(model, variables, s, use_pos_embed, bn_train_mode)
-    )(seqs)
+    if bn_train_mode:
+        # per-radargram BatchNorm batch statistics require one encoder
+        # forward per window — keep the vmap so stats never mix across R
+        embs = jax.vmap(
+            lambda s: encode_sequence(model, variables, s, use_pos_embed, True)
+        )(seqs)
+    else:
+        # eval: running-stats BN and per-embedding L2 make the window axis
+        # inert — ONE flat (R*T, N) forward. Besides being one dispatch,
+        # this is what lets the batch-minor (HWCN) encoder layout engage
+        # cleanly: under vmap its batch-on-lanes transpose acquires a
+        # leading R axis and XLA re-materializes every relayout per
+        # window (measured 138 ms vs 53 stock at the Miguel survey; flat
+        # batch-minor measured below both — benchmarks/survey_roofline.py)
+        Rw, Tw, Nw = seqs.shape[:3]
+        flat = seqs.reshape(Rw * Tw, Nw, *seqs.shape[3:])
+        embs = encode_sequence(
+            model, variables, flat, use_pos_embed, False
+        ).reshape(Rw, Tw, Nw, -1)
     R, T, N, C = embs.shape
     n_dev = mesh.devices.size if mesh is not None else 1
     kernel = _resolve_batched_kernel(

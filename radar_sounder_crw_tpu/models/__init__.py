@@ -1,3 +1,4 @@
+from .batch_minor import resnet_eval_batch_minor
 from .encoders import CNNEncoder, ResNetEncoder, create_model, param_count
 from .resnet import BasicBlock, ResNetCore
 from .unet import UNet
@@ -10,6 +11,7 @@ from .torch_import import (
 __all__ = [
     "CNNEncoder",
     "ResNetEncoder",
+    "resnet_eval_batch_minor",
     "create_model",
     "param_count",
     "BasicBlock",
