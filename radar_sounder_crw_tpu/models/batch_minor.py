@@ -54,20 +54,32 @@ def use_batch_minor(model, n_patches: int, bn_train_mode: bool) -> bool:
     """Trace-time dispatch predicate for `encode_sequence`.
 
     True when the batch-minor eval forward should replace
-    `model.apply(train=False)`: ResNetEncoder, eval-mode BatchNorm, a TPU
-    backend (the layout argument above is about TPU tiling; on CPU both
-    layouts are plain row-major), and a lane-filling batch.
-    `RSCRW_ENCODER_IMPL` overrides: 'stock' forces the flax forward,
-    'batch_minor' forces this one (any backend — tests use it on CPU),
-    'auto' (default) applies the predicate. Read at trace time: a cached
-    jit executable keeps the impl it traced with.
+    `model.apply(train=False)`: ResNetEncoder with the stock BatchNorm and
+    stem (this module mirrors flax nn.BatchNorm eval arithmetic and the
+    plain 7x7 eval stem — the 'lean'/'fused' BN variants and an explicit
+    s2d_stem=True keep the flax forward so their own eval semantics stay
+    authoritative), eval-mode BN, a TPU backend (the layout argument above
+    is about TPU tiling; on CPU both layouts are plain row-major), and a
+    lane-filling batch. `RSCRW_ENCODER_IMPL` overrides: 'stock' forces the
+    flax forward, 'batch_minor' forces this one where supported (any
+    backend — tests use it on CPU), 'auto' (default) applies the
+    predicate; any other value raises. Read at trace time: a cached jit
+    executable keeps the impl it traced with.
     """
     from .encoders import ResNetEncoder
 
     impl = os.environ.get("RSCRW_ENCODER_IMPL", "auto")
+    if impl not in ("auto", "stock", "batch_minor"):
+        raise ValueError(
+            f"RSCRW_ENCODER_IMPL={impl!r} — expected 'auto', 'stock' or "
+            f"'batch_minor'"
+        )
     if impl == "stock":
         return False
     if not isinstance(model, ResNetEncoder) or bn_train_mode:
+        return False
+    # configs whose eval arithmetic this module does not reproduce
+    if model.fused_bn not in (None, False) or model.s2d_stem is True:
         return False
     if impl == "batch_minor":
         return True

@@ -84,50 +84,69 @@ def test_matches_stock_forward_bf16():
     np.testing.assert_allclose(ours, stock, rtol=5e-2, atol=5e-2)
 
 
-def test_dispatch_predicate():
+def test_dispatch_predicate(monkeypatch):
     resnet = create_model(1, False)
     cnn = create_model(0, False)
-    env = os.environ
-    assert "RSCRW_ENCODER_IMPL" not in env
+    monkeypatch.delenv("RSCRW_ENCODER_IMPL", raising=False)
     # default 'auto': CPU backend -> stock path
     assert not use_batch_minor(resnet, 10_000, bn_train_mode=False)
-    try:
-        env["RSCRW_ENCODER_IMPL"] = "batch_minor"
-        assert use_batch_minor(resnet, 4, bn_train_mode=False)
-        # never for train-mode BN or the CNN encoder, even when forced
-        assert not use_batch_minor(resnet, 10_000, bn_train_mode=True)
-        assert not use_batch_minor(cnn, 10_000, bn_train_mode=False)
-        env["RSCRW_ENCODER_IMPL"] = "stock"
-        assert not use_batch_minor(resnet, 10_000, bn_train_mode=False)
-    finally:
-        del env["RSCRW_ENCODER_IMPL"]
+    monkeypatch.setenv("RSCRW_ENCODER_IMPL", "batch_minor")
+    assert use_batch_minor(resnet, 4, bn_train_mode=False)
+    # never for train-mode BN or the CNN encoder, even when forced
+    assert not use_batch_minor(resnet, 10_000, bn_train_mode=True)
+    assert not use_batch_minor(cnn, 10_000, bn_train_mode=False)
+    # nor for encoder configs whose eval arithmetic this module does not
+    # reproduce (BN variants, explicit space-to-depth eval stem)
+    assert not use_batch_minor(
+        create_model(1, False, fused_bn="lean"), 10_000, bn_train_mode=False
+    )
+    assert not use_batch_minor(
+        create_model(1, False, s2d_stem=True), 10_000, bn_train_mode=False
+    )
+    monkeypatch.setenv("RSCRW_ENCODER_IMPL", "stock")
+    assert not use_batch_minor(resnet, 10_000, bn_train_mode=False)
+    # typos fail loudly instead of silently meaning 'auto'
+    monkeypatch.setenv("RSCRW_ENCODER_IMPL", "batchminor")
+    with pytest.raises(ValueError, match="RSCRW_ENCODER_IMPL"):
+        use_batch_minor(resnet, 10_000, bn_train_mode=False)
 
 
-def test_encode_sequence_routes_batch_minor():
-    """Through the jitted product entry point: forcing the batch-minor impl
-    reproduces the default embeddings (CPU, f32 — exact path comparison at
-    the encode_sequence boundary, unique shape to defeat the jit cache)."""
+def test_encode_sequence_routes_batch_minor(monkeypatch):
+    """Through the jitted product entry point: with the impl forced, a
+    never-before-traced shape (1) actually routes through
+    resnet_eval_batch_minor — asserted via a trace-time spy, since a cached
+    encode_sequence executable would silently keep the impl it traced with
+    — and (2) reproduces the stock embeddings computed directly."""
+    import radar_sounder_crw_tpu.models.batch_minor as bm
     from radar_sounder_crw_tpu.infer import encode_sequence
 
     model = create_model(1, False, dtype=jnp.float32)
     variables = _randomized_stats(_init(model), seed=11)
+    # shape chosen to be unique to this test: the spy proves a fresh trace
     seq = jnp.asarray(
         np.random.default_rng(4).normal(size=(3, 13, 16, 16)), jnp.float32
     )
-    base = np.asarray(encode_sequence(model, variables, seq, False, False))
-    try:
-        os.environ["RSCRW_ENCODER_IMPL"] = "batch_minor"
-        # new jit entry (fresh wrap) so the env override is seen at trace time
-        forced = np.asarray(
-            jax.jit(
-                lambda v, s: encode_sequence(model, v, s, False, False)
-            )(variables, seq)
-        )
-    finally:
-        del os.environ["RSCRW_ENCODER_IMPL"]
-    assert base.shape == forced.shape == (3, 13, 128)
+    calls = []
+    real = bm.resnet_eval_batch_minor
+
+    def spy(model, variables, x):
+        calls.append(x.shape)
+        return real(model, variables, x)
+
+    monkeypatch.setenv("RSCRW_ENCODER_IMPL", "batch_minor")
+    monkeypatch.setattr(bm, "resnet_eval_batch_minor", spy)
+    forced = np.asarray(encode_sequence(model, variables, seq, False, False))
+    assert calls == [(39, 16, 16, 1)], (
+        "encode_sequence did not route through the batch-minor forward "
+        f"(spy calls: {calls})"
+    )
+    # stock reference computed directly (not via encode_sequence, whose
+    # jit cache now holds the batch-minor trace for this shape)
+    out = model.apply(variables, seq.reshape(39, 16, 16, 1), train=False)
+    emb = np.asarray(out).reshape(3, 13, -1)
+    base = emb / np.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
+    assert forced.shape == base.shape == (3, 13, 128)
     np.testing.assert_allclose(forced, base, rtol=2e-5, atol=2e-5)
-    # embeddings are L2-normalized in both paths
     np.testing.assert_allclose(
         np.linalg.norm(forced, axis=-1), np.ones((3, 13)), rtol=1e-5, atol=1e-5
     )
