@@ -578,6 +578,82 @@ def bench_full_survey():
     )
 
 
+def bench_survey_encode():
+    """Encoder-forward device slope at the full-survey batch (R*T*N =
+    315,000 patches through the resident gather + eval ResNet forward +
+    L2) — the surface where the batch-minor (HWCN) layout pays on its own
+    (DESIGN.md §11.3): inside the fused survey program the propagation
+    stage dominates and absorbs the encode delta, so this metric is the
+    driver-visible receipt for the isolated win. The stock NHWC slope is
+    measured alongside (via model.apply directly — encode_sequence's jit
+    cache would otherwise replay whichever impl traced first) and emitted
+    as `stock_ms` on the same record."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_sounder_crw_tpu.data import create_dataset, get_reference
+    from radar_sounder_crw_tpu.data.device_windows import (
+        gather_windows,
+        resident_source,
+    )
+    from radar_sounder_crw_tpu.infer.propagate import encode_sequence
+    from radar_sounder_crw_tpu.models import create_model
+
+    T, patch, overlap = 100, (16, 16), (8, 0)
+    ds = create_dataset(id=1, length=T, dim=patch, overlap=overlap, full=True)
+    geo = ds.geo
+    N = geo.nh
+    nclasses, seg = get_reference(id=1, h=N * patch[0], w=0, length=T, dim=patch)
+    tot_rg = seg.shape[-1] // geo.rg_len()
+    idxs = np.asarray(list(range(0, len(ds), T))[:tot_rg], np.int32)
+    R = len(idxs)
+
+    model = create_model(1, False, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1), jnp.bfloat16),
+        train=False,
+    )
+    rg_host, geo_r, index_map = resident_source(ds)
+    rg_dev = jax.device_put(jnp.asarray(rg_host))
+    ids_dev = jax.device_put(jnp.asarray(index_map[idxs].astype(np.int32)))
+
+    @jax.jit
+    def prog(rg, ids):
+        # the product eval encode: _batched_body's flat (R*T, N) forward
+        seqs = gather_windows(rg, ids, geo_r, T).astype(jnp.float32)
+        flat = seqs.reshape(R * T, N, *patch)
+        return encode_sequence(model, variables, flat, False, False).reshape(
+            R, T, N, -1
+        )
+
+    @jax.jit
+    def prog_stock(rg, ids):
+        # same program with the stock NHWC forward inlined
+        seqs = gather_windows(rg, ids, geo_r, T).astype(jnp.float32)
+        x = seqs.reshape(R * T * N, *patch, 1)
+        out = model.apply(variables, x, train=False)
+        emb = out.reshape(R, T, N, -1)
+        return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True).clip(1e-12)
+
+    ms = _device_slope_ms(lambda: prog(rg_dev, ids_dev), lambda o: o[0, 0, 0, 0])
+    stock_ms = _device_slope_ms(
+        lambda: prog_stock(rg_dev, ids_dev), lambda o: o[0, 0, 0, 0]
+    )
+    print(
+        f"survey encode (gather + {R * T * N} patches): {ms:.1f} ms device "
+        f"slope (stock NHWC {stock_ms:.1f})",
+        file=sys.stderr,
+    )
+    emit(
+        "survey_encode_ms_device_slope", ms,
+        f"ms per gather+encode+L2 of the survey batch ({R}x{T}x{N} 16x16 "
+        f"patches, eval ResNet-10 bf16; device slope, k=8 chained dispatches)",
+        None, None,
+        stock_ms=round(stock_ms, 4),
+    )
+
+
 def _probe_backend(timeout_s: int) -> None:
     """Fail FAST if the device backend is unreachable.
 
@@ -631,6 +707,7 @@ def main():
     bench_interactive_reseed()
     bench_propagation_mc3()
     bench_full_survey()
+    bench_survey_encode()
 
 
 if __name__ == "__main__":
